@@ -1,0 +1,27 @@
+"""osqp_tpu: a TPU-native operator-splitting QP solver.
+
+Solves convex quadratic programs
+
+    minimize    1/2 x' P x + q' x
+    subject to  l <= A x <= u
+
+with a from-scratch JAX/XLA/Pallas ADMM core designed for TPU hardware
+(dense-Schur Cholesky direct mode, PCG indirect mode, vmap-batched solves,
+shard_map consensus splitting for huge QPs) plus an always-available float64
+scipy reference backend.
+
+API parity target: the reference ``osqp`` package
+(reference: /root/reference/src/osqp/__init__.py:1-13).
+"""
+
+from .algebra import (  # noqa: F401
+    algebra_available,
+    algebras_available,
+    constant,
+    default_algebra,
+)
+from .constants import SolverError, SolverStatus  # noqa: F401
+from .exceptions import OSQPException  # noqa: F401
+from .interface import OSQP, OSQPSettings  # noqa: F401
+
+__version__ = '1.0.0.dev0'

@@ -1,0 +1,497 @@
+"""User-facing OSQP API with reference parity.
+
+Re-implements the surface of the reference Python layer
+(reference: src/osqp/interface.py) over the TPU-native backends:
+problem ingestion/validation, settings management with deprecation shims and
+friendly aliases, solve/update lifecycle, warm starts, derivative API and
+codegen driver.
+"""
+
+from __future__ import annotations
+
+import copy
+import warnings
+from types import SimpleNamespace
+
+import numpy as np
+import scipy.sparse as spa
+
+from .algebra import (
+    _ALGEBRAS,
+    algebra_available,
+    algebra_module,
+    algebras_available,  # noqa: F401  (re-exported)
+    constant as _constant,
+    default_algebra,
+)
+from .constants import (
+    CapabilitiesType,
+    LinsysSolverType,
+    PrecondType,
+    SolverError,
+    SolverStatus,
+    OSQP_INFTY,
+)
+from .exceptions import OSQPException
+
+# Settings understood by every backend, with reference defaults
+# (reference bindings.cpp.in:405-447; defaults from the C core /
+# _osqp.py:145-166).
+DEFAULT_SETTINGS = {
+    'device': 0,
+    'linsys_solver': int(LinsysSolverType.OSQP_DIRECT_SOLVER),
+    'verbose': False,
+    'warm_starting': True,
+    'scaling': 10,
+    'polishing': False,
+    'rho': 0.1,
+    'rho_is_vec': True,
+    'sigma': 1e-6,
+    'alpha': 1.6,
+    'cg_max_iter': 20,
+    'cg_tol_reduction': 10,
+    'cg_tol_fraction': 0.15,
+    'cg_precond': int(PrecondType.OSQP_DIAGONAL_PRECONDITIONER),
+    'adaptive_rho': True,
+    'adaptive_rho_interval': 0,
+    'adaptive_rho_fraction': 0.4,
+    'adaptive_rho_tolerance': 5.0,
+    'max_iter': 4000,
+    'eps_abs': 1e-3,
+    'eps_rel': 1e-3,
+    'eps_prim_inf': 1e-4,
+    'eps_dual_inf': 1e-4,
+    'scaled_termination': False,
+    'check_termination': 25,
+    'check_dualgap': False,
+    'time_limit': 0.0,
+    'delta': 1e-6,
+    'polish_refine_iter': 3,
+}
+
+_INFO_FIELDS = (
+    'status',
+    'status_val',
+    'status_polish',
+    'obj_val',
+    'dual_obj_val',
+    'prim_res',
+    'dual_res',
+    'duality_gap',
+    'iter',
+    'rho_updates',
+    'rho_estimate',
+    'setup_time',
+    'solve_time',
+    'update_time',
+    'polish_time',
+    'run_time',
+    'primdual_int',
+    'rel_kkt_error',
+)
+
+
+class OSQPSettings(SimpleNamespace):
+    """Mutable settings namespace (analogue of the binding's OSQPSettings)."""
+
+    def __init__(self, **kwargs):
+        merged = dict(DEFAULT_SETTINGS)
+        merged.update(kwargs)
+        super().__init__(**merged)
+
+    def as_dict(self):
+        return dict(self.__dict__)
+
+
+class OSQP:
+    """Operator-splitting QP solver (TPU-native).
+
+    Solves ``minimize 1/2 x'Px + q'x  subject to  l <= Ax <= u`` with the same
+    public API as the reference ``osqp.OSQP``
+    (reference src/osqp/interface.py:120-598).
+    """
+
+    def __init__(self, *args, **kwargs):
+        self.m = None
+        self.n = None
+
+        self.algebra = kwargs.pop('algebra') if 'algebra' in kwargs else default_algebra()
+        if not algebra_available(self.algebra):
+            raise RuntimeError(f'Algebra {self.algebra} not available')
+        self.ext = algebra_module(self.algebra)
+
+        self._dtype = np.float32 if getattr(self.ext, 'OSQP_USE_FLOAT', 0) == 1 else np.float64
+        self._itype = np.int32
+
+        self.settings = None
+        self._solver = None
+        self._derivative_cache = {}
+
+    def __str__(self):
+        if self._solver is None:
+            return f'Uninitialized OSQP with algebra={self.algebra}'
+        return f'OSQP with algebra={self.algebra} ({self.solver_type})'
+
+    # -- error translation -------------------------------------------------
+
+    @classmethod
+    def raises_error(cls, fn, *args, **kwargs):
+        """Translate backend ValueErrors into OSQPException
+        (reference interface.py:128-141)."""
+        try:
+            return fn(*args, **kwargs)
+        except OSQPException:
+            raise
+        except ValueError as e:
+            error_code = None
+            if e.args:
+                try:
+                    error_code = int(e.args[0])
+                except (ValueError, TypeError):
+                    pass
+            raise OSQPException(error_code)
+
+    # -- ingestion ---------------------------------------------------------
+
+    def _infer_mnpqalu(self, P=None, q=None, A=None, l=None, u=None):
+        """Infer problem dimensions and synthesize missing pieces
+        (reference interface.py:165-240)."""
+        if P is None:
+            if q is not None:
+                n = len(q)
+            elif A is not None:
+                n = A.shape[1]
+            else:
+                raise ValueError('The problem does not have any variables')
+        else:
+            n = P.shape[0]
+
+        m = 0 if A is None else A.shape[0]
+
+        if A is None:
+            assert (l is None) and (u is None), 'If A is unspecified, leave l/u unspecified too.'
+        else:
+            assert (l is not None) or (u is not None), 'If A is specified, specify at least one of l/u.'
+            if l is None:
+                l = -np.inf * np.ones(A.shape[0])
+            if u is None:
+                u = np.inf * np.ones(A.shape[0])
+
+        if P is None:
+            P = spa.csc_matrix((n, n), dtype=self._dtype)
+        if q is None:
+            q = np.zeros(n)
+
+        if A is None:
+            A = spa.csc_matrix((m, n), dtype=self._dtype)
+            l = np.zeros(m)
+            u = np.zeros(m)
+
+        assert len(q) == n, 'Incorrect dimension of q'
+        assert len(l) == m, 'Incorrect dimension of l'
+        assert len(u) == m, 'Incorrect dimension of u'
+
+        if not spa.issparse(P) and isinstance(P, np.ndarray) and P.ndim == 2:
+            raise TypeError('P is required to be a sparse matrix')
+        if not spa.issparse(A) and isinstance(A, np.ndarray) and A.ndim == 2:
+            raise TypeError('A is required to be a sparse matrix')
+
+        # Keep only the upper-triangular part of P if a full symmetric matrix
+        # was passed (reference interface.py:221-222).
+        if spa.tril(P, -1).data.size > 0:
+            P = spa.triu(P, format='csc')
+
+        if not spa.issparse(P) or not spa.isspmatrix_csc(P):
+            warnings.warn('Converting sparse P to a CSC matrix. This may take a while...')
+            P = spa.csc_matrix(P)
+        if not spa.issparse(A) or not spa.isspmatrix_csc(A):
+            warnings.warn('Converting sparse A to a CSC matrix. This may take a while...')
+            A = spa.csc_matrix(A)
+
+        if not P.has_sorted_indices:
+            P.sort_indices()
+        if not A.has_sorted_indices:
+            A.sort_indices()
+
+        q = np.asarray(q, dtype=np.float64).ravel()
+        l = np.asarray(l, dtype=np.float64).ravel()
+        u = np.asarray(u, dtype=np.float64).ravel()
+        u = np.minimum(u, OSQP_INFTY)
+        l = np.maximum(l, -OSQP_INFTY)
+
+        return m, n, P, q, A, l, u
+
+    # -- capability / properties -------------------------------------------
+
+    @property
+    def capabilities(self) -> int:
+        return int(self.ext.capabilities())
+
+    def has_capability(self, capability: str) -> bool:
+        try:
+            cap = int(CapabilitiesType[capability])
+        except KeyError:
+            raise RuntimeError(f'Unrecognized capability {capability}')
+        return (self.capabilities & cap) != 0
+
+    @property
+    def solver_type(self) -> str:
+        return (
+            'direct'
+            if self.settings.linsys_solver == int(LinsysSolverType.OSQP_DIRECT_SOLVER)
+            else 'indirect'
+        )
+
+    @property
+    def cg_preconditioner(self):
+        return (
+            'diagonal'
+            if self.settings.cg_precond == int(PrecondType.OSQP_DIAGONAL_PRECONDITIONER)
+            else None
+        )
+
+    def constant(self, which):
+        return _constant(which, algebra=self.algebra)
+
+    # -- settings ----------------------------------------------------------
+
+    def update_settings(self, **kwargs):
+        assert self.settings is not None, 'Solver has not been set up'
+
+        renamed = {'polish': 'polishing', 'warm_start': 'warm_starting'}
+        for old, new in renamed.items():
+            if old in kwargs:
+                warnings.warn(f'"{old}" is deprecated. Please use "{new}" instead.', DeprecationWarning)
+                kwargs[new] = kwargs.pop(old)
+
+        changed = {}
+
+        if 'rho' in kwargs and self._solver is not None:
+            # rho is routed through update_rho, not update_settings
+            # (reference interface.py:299-300).
+            self.raises_error(self._solver.update_rho, kwargs.pop('rho'))
+        if 'solver_type' in kwargs:
+            value = kwargs.pop('solver_type')
+            assert value in ('direct', 'indirect')
+            self.settings.linsys_solver = int(
+                LinsysSolverType.OSQP_DIRECT_SOLVER
+                if value == 'direct'
+                else LinsysSolverType.OSQP_INDIRECT_SOLVER
+            )
+            changed['linsys_solver'] = self.settings.linsys_solver
+        if 'cg_preconditioner' in kwargs:
+            value = kwargs.pop('cg_preconditioner')
+            assert value in (None, 'diagonal')
+            self.settings.cg_precond = int(
+                PrecondType.OSQP_DIAGONAL_PRECONDITIONER
+                if value == 'diagonal'
+                else PrecondType.OSQP_NO_PRECONDITIONER
+            )
+            changed['cg_precond'] = self.settings.cg_precond
+
+        for k in list(kwargs.keys()):
+            if k in DEFAULT_SETTINGS:
+                v = kwargs.pop(k)
+                setattr(self.settings, k, v)
+                changed[k] = v
+
+        if kwargs:
+            raise ValueError(f'Unrecognized settings {list(kwargs.keys())}')
+
+        if changed and self._solver is not None:
+            self.raises_error(self._solver.update_settings, **changed)
+
+    # -- data updates ------------------------------------------------------
+
+    def update(self, **kwargs):
+        """Update problem vectors and/or matrix values in place
+        (reference interface.py:330-368)."""
+        q, l, u = kwargs.get('q'), kwargs.get('l'), kwargs.get('u')
+        if l is not None:
+            l = np.maximum(np.asarray(l, np.float64).ravel(), -OSQP_INFTY)
+        if u is not None:
+            u = np.minimum(np.asarray(u, np.float64).ravel(), OSQP_INFTY)
+        if q is not None:
+            q = np.asarray(q, np.float64).ravel()
+
+        if q is not None or l is not None or u is not None:
+            self.raises_error(self._solver.update_data_vec, q=q, l=l, u=u)
+        if any(k in kwargs for k in ('Px', 'Px_idx', 'Ax', 'Ax_idx')):
+            self.raises_error(
+                self._solver.update_data_mat,
+                P_x=kwargs.get('Px'),
+                P_i=kwargs.get('Px_idx'),
+                A_x=kwargs.get('Ax'),
+                A_i=kwargs.get('Ax_idx'),
+            )
+
+        if q is not None:
+            self._derivative_cache['q'] = q
+        if l is not None:
+            self._derivative_cache['l'] = l
+        if u is not None:
+            self._derivative_cache['u'] = u
+        for var in ('P', 'A'):
+            varx = f'{var}x'
+            if kwargs.get(varx) is not None:
+                mat = self._derivative_cache[var] = self._derivative_cache[var].copy()
+                if kwargs.get(f'{varx}_idx') is None:
+                    mat.data = np.asarray(kwargs[varx], np.float64)
+                else:
+                    mat.data[np.asarray(kwargs[f'{varx}_idx'])] = kwargs[varx]
+
+        for key in ('results', 'solver', 'M'):
+            self._derivative_cache.pop(key, None)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def setup(self, P, q, A, l, u, **settings):
+        m, n, P, q, A, l, u = self._infer_mnpqalu(P=P, q=q, A=A, l=l, u=u)
+        self._derivative_cache.update({'P': P, 'q': q, 'A': A, 'l': l, 'u': u})
+        self.m = m
+        self.n = n
+
+        self.settings = OSQPSettings()
+        self.update_settings(**settings)
+
+        self._solver = self.ext.Solver()
+        self.raises_error(
+            self._solver.setup, P, q, A, l, u, **self.settings.as_dict()
+        )
+        if 'rho' in settings:
+            self.raises_error(self._solver.update_rho, settings['rho'])
+
+    def warm_start(self, x=None, y=None):
+        return self.raises_error(self._solver.warm_start, x, y)
+
+    def solve(self, raise_error=None):
+        if raise_error is None:
+            warnings.warn(
+                'The default value of raise_error will change to True in the future.',
+                PendingDeprecationWarning,
+            )
+            raise_error = False
+
+        solution, info = self.raises_error(self._solver.solve)
+
+        info_ns = SimpleNamespace(**{k: getattr(info, k) for k in _INFO_FIELDS})
+        if info_ns.status_val == int(SolverStatus.OSQP_NON_CVX):
+            info_ns.obj_val = np.nan
+
+        if info_ns.status_val != int(SolverStatus.OSQP_SOLVED) and raise_error:
+            raise OSQPException(info_ns.status_val)
+
+        results = SimpleNamespace(
+            x=solution.x,
+            y=solution.y,
+            prim_inf_cert=solution.prim_inf_cert,
+            dual_inf_cert=solution.dual_inf_cert,
+            info=info_ns,
+        )
+        self._derivative_cache['results'] = results
+        return results
+
+    # -- codegen -----------------------------------------------------------
+
+    def codegen(
+        self,
+        folder,
+        parameters='vectors',
+        extension_name='emosqp',
+        force_rewrite=False,
+        use_float=False,
+        printing_enable=False,
+        profiling_enable=False,
+        interrupt_enable=False,
+        include_codegen_src=True,
+        prefix='',
+        compile=False,
+    ):
+        """Generate an embedded solver with baked problem data
+        (reference interface.py:449-517; see osqp_tpu/codegen)."""
+        assert self.has_capability('OSQP_CAPABILITY_CODEGEN'), 'This OSQP object does not support codegen'
+        assert parameters in ('vectors', 'matrices'), 'Unknown parameters specification'
+
+        from .codegen.driver import generate
+
+        return generate(
+            self,
+            folder,
+            parameters=parameters,
+            extension_name=extension_name,
+            force_rewrite=force_rewrite,
+            use_float=use_float,
+            prefix=prefix,
+            compile=compile,
+        )
+
+    # -- derivatives -------------------------------------------------------
+
+    def _derivative_results(self):
+        try:
+            results = self._derivative_cache['results']
+        except KeyError:
+            raise ValueError(
+                'Problem has not been solved. You cannot take derivatives. Please call the solve function.'
+            )
+        if results.info.status_val != int(SolverStatus.OSQP_SOLVED):
+            raise ValueError('Problem has not been solved to optimality. You cannot take derivatives')
+        return results
+
+    def adjoint_derivative_compute(self, dx=None, dy=None):
+        """Compute adjoint derivatives after a solve
+        (reference interface.py:519-539; math in osqp_tpu/solver/derivatives.py)."""
+        assert self.has_capability('OSQP_CAPABILITY_DERIVATIVES'), 'This OSQP object does not support derivatives'
+        results = self._derivative_results()
+
+        from .solver.derivatives import adjoint_derivative
+
+        if dx is None:
+            dx = np.zeros(self.n)
+        if dy is None:
+            dy = np.zeros(self.m)
+
+        cache = self._derivative_cache
+        derivs = adjoint_derivative(
+            P=cache['P'],
+            q=cache['q'],
+            A=cache['A'],
+            l=cache['l'],
+            u=cache['u'],
+            x=results.x,
+            y=results.y,
+            dx=np.asarray(dx, np.float64),
+            dy=np.asarray(dy, np.float64),
+        )
+        cache['derivs'] = derivs
+
+    def adjoint_derivative_get_mat(self, as_dense=True, dP_as_triu=True):
+        assert self.has_capability('OSQP_CAPABILITY_DERIVATIVES'), 'This OSQP object does not support derivatives'
+        self._derivative_results()
+        derivs = self._derivative_cache.get('derivs')
+        if derivs is None:
+            raise ValueError('Call adjoint_derivative_compute first')
+        dP, dA = derivs['dP'], derivs['dA']  # dense (n,n) sym and (m,n)
+        P, A = self._derivative_cache['P'], self._derivative_cache['A']
+        if dP_as_triu:
+            dP_out = spa.csc_matrix(np.triu(dP + dP.T - np.diag(np.diag(dP))))
+            # restrict to P's sparsity
+            P_triu = spa.triu(P, format='csc')
+            dP_out = spa.csc_matrix(
+                (np.asarray(dP_out[P_triu.nonzero()]).ravel(), P_triu.nonzero()), shape=P.shape
+            )
+        else:
+            dP_full = dP + dP.T - np.diag(np.diag(dP))
+            dP_out = spa.csc_matrix(dP_full)
+        dA_out = spa.csc_matrix(dA)
+        if as_dense:
+            return np.asarray(dP_out.todense()), np.asarray(dA_out.todense())
+        return dP_out, dA_out
+
+    def adjoint_derivative_get_vec(self):
+        assert self.has_capability('OSQP_CAPABILITY_DERIVATIVES'), 'This OSQP object does not support derivatives'
+        self._derivative_results()
+        derivs = self._derivative_cache.get('derivs')
+        if derivs is None:
+            raise ValueError('Call adjoint_derivative_compute first')
+        return derivs['dq'], derivs['dl'], derivs['du']
