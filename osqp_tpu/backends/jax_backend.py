@@ -1,0 +1,473 @@
+"""``jax`` algebra backend: the TPU/XLA solver.
+
+Host-side orchestration around :mod:`osqp_tpu.solver.core`.  Exposes the same
+low-level surface as the reference binding (reference
+src/bindings.cpp.in:107-323): ``setup / solve / warm_start / update_data_vec /
+update_data_mat / update_settings / update_rho``.
+
+Direct mode = dense-Schur Cholesky (MXU); indirect mode = diagonally
+preconditioned CG (matvec-only) - mirroring the reference's
+``solver_type`` setting (reference interface.py:254-260,301-309).
+
+dtype policy: float64 when ``jax_enable_x64`` is on (reference-precision,
+works natively on TPU), float32 otherwise.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import (
+    ADAPTIVE_RHO_FIXED,
+    CapabilitiesType,
+    LinsysSolverType,
+    OSQP_INFTY,
+    RHO_MAX,
+    RHO_MIN,
+    SolverError,
+    SolverStatus,
+    status_string,
+)
+from ..exceptions import OSQPException
+from .._oracle.solver import Info, OracleSettings, Solution
+from ..solver import core
+
+NAME = 'jax'
+
+OSQP_USE_FLOAT = 0  # dtype resolved per-solver from the x64 flag
+
+
+def capabilities() -> int:
+    return (
+        CapabilitiesType.OSQP_CAPABILITY_DIRECT_SOLVER
+        | CapabilitiesType.OSQP_CAPABILITY_INDIRECT_SOLVER
+        | CapabilitiesType.OSQP_CAPABILITY_UPDATE_MATRICES
+        | CapabilitiesType.OSQP_CAPABILITY_DERIVATIVES
+        | CapabilitiesType.OSQP_CAPABILITY_CODEGEN
+    )
+
+
+def solver_types():
+    return ('direct', 'indirect')
+
+
+def _default_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def _resolve_device():
+    """Device selection: OSQP_TPU_DEVICE env var ('cpu'/'tpu'/...) overrides
+    the JAX default backend.  The TPU-native analogue of the reference's
+    ``device`` setting (reference bindings.cpp.in:409)."""
+    import os
+
+    name = os.environ.get('OSQP_TPU_DEVICE')
+    if name:
+        return jax.devices(name)[0]
+    return None
+
+
+class _DeviceScope:
+    """Context placing all computation of a method on the solver's device."""
+
+    def __init__(self, device):
+        self._device = device
+        self._cm = None
+
+    def __enter__(self):
+        if self._device is not None:
+            self._cm = jax.default_device(self._device)
+            self._cm.__enter__()
+
+    def __exit__(self, *exc):
+        if self._cm is not None:
+            self._cm.__exit__(*exc)
+
+
+def _on_device(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        scope = _DeviceScope(self._device)
+        scope.__enter__()
+        try:
+            return fn(self, *args, **kwargs)
+        finally:
+            scope.__exit__(None, None, None)
+
+    return wrapper
+
+
+class Solver:
+    """Single-QP solver handle (host state + jitted device computations)."""
+
+    def __init__(self, dtype=None, device=None):
+        self._dtype = dtype
+        self._device = device if device is not None else _resolve_device()
+        self._ws = None
+
+    # -- helpers -----------------------------------------------------------
+
+    @property
+    def _indirect(self) -> bool:
+        return self._stg.linsys_solver == int(LinsysSolverType.OSQP_INDIRECT_SOLVER)
+
+    def _core_settings(self) -> core.Settings:
+        stg = self._stg
+        dt = self._dtype
+        ct = int(stg.check_termination)
+        interval = int(stg.adaptive_rho_interval) or ADAPTIVE_RHO_FIXED
+        if ct:
+            interval = max(interval, ct)
+        cg_eps_min = 1e-12 if dt == jnp.float64 else 1e-7
+        f = lambda v: jnp.asarray(v, dt)
+        return core.Settings(
+            sigma=f(stg.sigma),
+            alpha=f(stg.alpha),
+            eps_abs=f(stg.eps_abs),
+            eps_rel=f(stg.eps_rel),
+            eps_prim_inf=f(stg.eps_prim_inf),
+            eps_dual_inf=f(stg.eps_dual_inf),
+            max_iter=jnp.int32(stg.max_iter),
+            check_termination=jnp.int32(ct),
+            scaled_termination=jnp.asarray(bool(stg.scaled_termination)),
+            adaptive_rho=jnp.asarray(bool(stg.adaptive_rho)),
+            adaptive_rho_interval=jnp.int32(interval),
+            adaptive_rho_tolerance=f(stg.adaptive_rho_tolerance),
+            rho_is_vec=jnp.asarray(bool(stg.rho_is_vec)),
+            cg_max_iter=jnp.int32(stg.cg_max_iter),
+            cg_tol_fraction=f(stg.cg_tol_fraction),
+            cg_eps_min=f(cg_eps_min),
+        )
+
+    def _check_convexity(self):
+        """Direct mode: the scaled KKT matrix has QDLDL-valid inertia iff
+        P_scaled + sigma*I is PD (see _oracle/solver.py setup notes)."""
+        if self._indirect:
+            return
+        P = self._data.P
+        n = P.shape[0]
+        L = jnp.linalg.cholesky(P + jnp.asarray(self._stg.sigma, P.dtype) * jnp.eye(n, dtype=P.dtype))
+        if bool(jnp.any(jnp.isnan(L))):
+            raise OSQPException(int(SolverError.OSQP_NONCVX_ERROR))
+
+    def _refactorize(self):
+        if self._indirect:
+            diag = core.build_M_diag(self._data.P, self._data.A, self._stg.sigma, self._rho.rho_vec)
+            L = jnp.zeros((0, 0), self._dtype)
+            self._factor = core.Factor(L=L, diag=diag)
+        else:
+            self._factor = core.factorize(
+                self._data.P, self._data.A, jnp.asarray(self._stg.sigma, self._dtype), self._rho.rho_vec
+            )
+
+    # -- low-level API -----------------------------------------------------
+
+    @_on_device
+    def setup(self, P, q, A, l, u, **settings):
+        t0 = time.perf_counter()
+        self._stg = OracleSettings(**settings)
+        if self._dtype is None:
+            self._dtype = _default_dtype()
+        dt = self._dtype
+
+        P = sp.csc_matrix(P)
+        A = sp.csc_matrix(A)
+        n, m = P.shape[0], A.shape[0]
+        q = np.asarray(q, np.float64).ravel()
+        l = np.full(m, -OSQP_INFTY) if l is None else np.asarray(l, np.float64).ravel()
+        u = np.full(m, OSQP_INFTY) if u is None else np.asarray(u, np.float64).ravel()
+        l = np.maximum(l, -OSQP_INFTY)
+        u = np.minimum(u, OSQP_INFTY)
+        if np.any(l > u):
+            raise OSQPException(int(SolverError.OSQP_DATA_VALIDATION_ERROR))
+
+        P_triu = sp.triu(P, format='csc')
+        P_full = (P_triu + P_triu.T - sp.diags(P_triu.diagonal())).tocsc()
+        self.n, self.m = n, m
+        self._P_triu_pattern = P_triu  # CSC pattern for update_data_mat
+        self._A_pattern = A.copy()
+        self._P_orig = P_full
+        self._A_orig = A.copy()
+        self._q_orig = q.copy()
+        self._l_orig = l.copy()
+        self._u_orig = u.copy()
+
+        Pj = jnp.asarray(P_full.toarray(), dt)
+        Aj = jnp.asarray(A.toarray() if m else np.zeros((m, n)), dt)
+        qj = jnp.asarray(q, dt)
+        lj = jnp.asarray(l, dt)
+        uj = jnp.asarray(u, dt)
+
+        if int(self._stg.scaling) > 0:
+            self._data, self._scal = core.jit_ruiz(Pj, qj, Aj, lj, uj, int(self._stg.scaling))
+        else:
+            self._data = core.QPData(P=Pj, q=qj, A=Aj, l=lj, u=uj)
+            self._scal = core.identity_scaling(n, m, dt)
+
+        self._check_convexity()
+
+        # scaled bounds on host for constraint typing
+        l_s, u_s = np.asarray(self._data.l), np.asarray(self._data.u)
+        self._rho = core.make_rho_state(self._data.l, self._data.u, self._stg.rho, bool(self._stg.rho_is_vec))
+        self._refactorize()
+
+        self._iterates = core.Iterates(
+            x=jnp.zeros((n,), dt), z=jnp.zeros((m,), dt), y=jnp.zeros((m,), dt)
+        )
+        self._info = Info()
+        self._solution = Solution()
+        self._first_run = True
+        self._clear_update_time = False
+        self._info.setup_time = time.perf_counter() - t0
+        self._info.rho_estimate = self._stg.rho
+
+    @_on_device
+    def solve(self):
+        stg = self._stg
+        info = self._info
+        t0 = time.perf_counter()
+        if self._clear_update_time:
+            info.update_time = 0.0
+
+        if not stg.warm_starting:
+            dt = self._dtype
+            self._iterates = core.Iterates(
+                x=jnp.zeros((self.n,), dt),
+                z=jnp.zeros((self.m,), dt),
+                y=jnp.zeros((self.m,), dt),
+            )
+
+        res = core.solve_scaled(
+            self._data,
+            self._scal,
+            self._core_settings(),
+            self._rho,
+            self._factor,
+            self._iterates,
+            indirect=self._indirect,
+            verbose=bool(stg.verbose),
+        )
+        res = jax.tree.map(lambda a: a, res)  # keep on device; pull scalars below
+
+        status = int(res.status)
+        self._iterates = res.iterates
+        self._rho = res.rho
+        self._factor = res.factor
+
+        info.iter = int(res.iters)
+        info.obj_val = float(res.obj_val)
+        info.dual_obj_val = float(res.dual_obj_val)
+        info.duality_gap = float(res.duality_gap)
+        info.prim_res = float(res.pri_res)
+        info.dual_res = float(res.dua_res)
+        info.rho_estimate = float(res.rho_estimate)
+        info.rho_updates = int(res.rho_updates)
+        info.status_val = status
+        info.status = status_string(status)
+        self._stg.rho = float(res.rho.rho)
+        info.solve_time = time.perf_counter() - t0
+
+        x_out = np.asarray(res.x, np.float64)
+        y_out = np.asarray(res.y, np.float64)
+
+        # polish (host-gated on the polishing setting + SOLVED status)
+        info.status_polish = 0
+        info.polish_time = 0.0
+        if stg.polishing and status == int(SolverStatus.OSQP_SOLVED):
+            tp = time.perf_counter()
+            pol = core.polish(
+                self._data,
+                self._scal,
+                self._core_settings(),
+                jnp.asarray(stg.delta, self._dtype),
+                jnp.int32(stg.polish_refine_iter),
+                res.iterates.x,
+                res.iterates.z,
+                res.iterates.y,
+                res.pri_res,
+                res.dua_res,
+            )
+            if bool(pol.success):
+                info.status_polish = 1
+                info.obj_val = float(pol.obj_val)
+                info.prim_res = float(pol.pri_res)
+                info.dual_res = float(pol.dua_res)
+                self._iterates = core.Iterates(x=pol.x, z=pol.z, y=pol.y)
+                x_out = np.asarray(self._scal.D * pol.x, np.float64)
+                y_out = np.asarray(self._scal.cinv * (self._scal.E * pol.y), np.float64)
+            else:
+                info.status_polish = -1
+            info.polish_time = time.perf_counter() - tp
+
+        if self._first_run:
+            info.run_time = info.setup_time + info.solve_time + info.polish_time
+        else:
+            info.run_time = info.update_time + info.solve_time + info.polish_time
+        self._first_run = False
+        self._clear_update_time = True
+
+        sol = self._solution
+        sol.x = x_out
+        sol.y = y_out
+        sol.prim_inf_cert = np.asarray(res.prim_inf_cert, np.float64)
+        sol.dual_inf_cert = np.asarray(res.dual_inf_cert, np.float64)
+        return sol, info
+
+    # -- warm start / updates ----------------------------------------------
+
+    @_on_device
+    def warm_start(self, x=None, y=None):
+        dt = self._dtype
+        self._stg.warm_starting = True
+        it = self._iterates
+        if x is not None:
+            x = np.asarray(x, np.float64).ravel()
+            if x.shape != (self.n,):
+                raise OSQPException(int(SolverError.OSQP_DATA_VALIDATION_ERROR))
+            xs = self._scal.Dinv * jnp.asarray(x, dt)
+            zs = self._data.A @ xs if self.m else jnp.zeros((0,), dt)
+            it = it._replace(x=xs, z=zs)
+        if y is not None:
+            y = np.asarray(y, np.float64).ravel()
+            if y.shape != (self.m,):
+                raise OSQPException(int(SolverError.OSQP_DATA_VALIDATION_ERROR))
+            ys = self._scal.c * (self._scal.Einv * jnp.asarray(y, dt))
+            it = it._replace(y=ys)
+        self._iterates = it
+
+    def _begin_update(self):
+        if self._clear_update_time:
+            self._clear_update_time = False
+            self._info.update_time = 0.0
+        return time.perf_counter()
+
+    @_on_device
+    def update_data_vec(self, q=None, l=None, u=None):
+        t0 = self._begin_update()
+        dt = self._dtype
+        data = self._data
+        if q is not None:
+            q = np.asarray(q, np.float64).ravel()
+            if q.shape != (self.n,):
+                raise OSQPException(int(SolverError.OSQP_DATA_VALIDATION_ERROR))
+            self._q_orig = q.copy()
+            data = data._replace(q=self._scal.c * (self._scal.D * jnp.asarray(q, dt)))
+        bounds_changed = False
+        if l is not None:
+            l = np.maximum(np.asarray(l, np.float64).ravel(), -OSQP_INFTY)
+            if l.shape != (self.m,):
+                raise OSQPException(int(SolverError.OSQP_DATA_VALIDATION_ERROR))
+            self._l_orig = l.copy()
+            data = data._replace(l=self._scal.E * jnp.asarray(l, dt))
+            bounds_changed = True
+        if u is not None:
+            u = np.minimum(np.asarray(u, np.float64).ravel(), OSQP_INFTY)
+            if u.shape != (self.m,):
+                raise OSQPException(int(SolverError.OSQP_DATA_VALIDATION_ERROR))
+            self._u_orig = u.copy()
+            data = data._replace(u=self._scal.E * jnp.asarray(u, dt))
+            bounds_changed = True
+        self._data = data
+        if bounds_changed:
+            if np.any(self._l_orig > self._u_orig):
+                raise OSQPException(int(SolverError.OSQP_DATA_VALIDATION_ERROR))
+            # Re-type constraints; refactor only on type change
+            # (ref _osqp.py:526-562).
+            new_types = core.constraint_types(self._data.l, self._data.u)
+            changed = bool(jnp.any(new_types != self._rho.constr_type))
+            vec = core.rho_vec_from_types(
+                new_types, jnp.asarray(self._stg.rho, dt), bool(self._stg.rho_is_vec)
+            )
+            self._rho = core.RhoState(
+                rho=jnp.clip(jnp.asarray(self._stg.rho, dt), RHO_MIN, RHO_MAX),
+                rho_vec=vec,
+                rho_inv_vec=jnp.where(vec > 0, 1.0 / vec, 0.0),
+                constr_type=new_types,
+            )
+            if changed:
+                self._refactorize()
+        info = self._info
+        info.status_val = int(SolverStatus.OSQP_UNSOLVED)
+        info.status = status_string(info.status_val)
+        info.rho_updates = 0
+        info.solve_time = 0.0
+        info.polish_time = 0.0
+        info.update_time += time.perf_counter() - t0
+
+    @_on_device
+    def update_data_mat(self, P_x=None, P_i=None, A_x=None, A_i=None):
+        t0 = self._begin_update()
+        dt = self._dtype
+        if P_x is not None:
+            P_triu = self._P_triu_pattern.copy()
+            data = P_triu.data.copy()
+            if P_i is None:
+                if len(P_x) != len(data):
+                    raise OSQPException(int(SolverError.OSQP_DATA_VALIDATION_ERROR))
+                data[:] = P_x
+            else:
+                data[np.asarray(P_i, np.int64)] = P_x
+            P_triu = sp.csc_matrix((data, P_triu.indices, P_triu.indptr), shape=P_triu.shape)
+            self._P_triu_pattern = P_triu
+            P_full = (P_triu + P_triu.T - sp.diags(P_triu.diagonal())).tocsc()
+            self._P_orig = P_full
+            Pj = jnp.asarray(P_full.toarray(), dt)
+            P_scaled = self._scal.c * (self._scal.D[:, None] * Pj * self._scal.D[None, :])
+            self._data = self._data._replace(P=P_scaled)
+        if A_x is not None:
+            A = self._A_pattern.copy()
+            data = A.data.copy()
+            if A_i is None:
+                if len(A_x) != len(data):
+                    raise OSQPException(int(SolverError.OSQP_DATA_VALIDATION_ERROR))
+                data[:] = A_x
+            else:
+                data[np.asarray(A_i, np.int64)] = A_x
+            A = sp.csc_matrix((data, A.indices, A.indptr), shape=A.shape)
+            self._A_pattern = A
+            self._A_orig = A.copy()
+            Aj = jnp.asarray(A.toarray(), dt)
+            A_scaled = self._scal.E[:, None] * Aj * self._scal.D[None, :]
+            self._data = self._data._replace(A=A_scaled)
+        if P_x is not None:
+            self._check_convexity()
+        self._refactorize()
+        info = self._info
+        info.status_val = int(SolverStatus.OSQP_UNSOLVED)
+        info.status = status_string(info.status_val)
+        info.update_time += time.perf_counter() - t0
+
+    @_on_device
+    def update_rho(self, rho_new):
+        if rho_new <= 0:
+            raise ValueError('rho must be positive')
+        dt = self._dtype
+        self._stg.rho = float(min(max(rho_new, RHO_MIN), RHO_MAX))
+        vec = core.rho_vec_from_types(
+            self._rho.constr_type, jnp.asarray(self._stg.rho, dt), bool(self._stg.rho_is_vec)
+        )
+        self._rho = self._rho._replace(
+            rho=jnp.asarray(self._stg.rho, dt),
+            rho_vec=vec,
+            rho_inv_vec=jnp.where(vec > 0, 1.0 / vec, 0.0),
+        )
+        self._refactorize()
+
+    def update_settings(self, **kwargs):
+        refactor_needed = False
+        for k, v in kwargs.items():
+            if not hasattr(self._stg, k):
+                raise ValueError(f'Unrecognized setting {k}')
+            if k in ('linsys_solver', 'sigma') and getattr(self._stg, k) != v:
+                refactor_needed = True
+            setattr(self._stg, k, v)
+        if refactor_needed:
+            self._refactorize()

@@ -1,0 +1,924 @@
+"""TPU-native ADMM solver core (JAX/XLA).
+
+From-scratch re-design of the OSQP algorithm (spec:
+/root/reference/src/osqppurepy/_osqp.py, mirrored by the fetched C core) for
+TPU execution semantics:
+
+* **Dense-Schur direct mode.**  The reference factorizes the sparse
+  indefinite KKT matrix ``[[P+sigma I, A'], [A, -diag(1/rho)]]`` with QDLDL
+  (ref _osqp.py:291-304).  TPUs hate scalar sparse triangular solves, so we
+  instead reduce to the SPD normal-equations operator
+
+      M(rho) = P + sigma*I + A' diag(rho) A,
+
+  Cholesky-factorize it on the MXU, and recover the dual block as
+  ``nu = rho*(A x - b2)``.  This is algebraically the same KKT solve.
+  Adaptive-rho refactorization happens *inside* the jitted while_loop under
+  ``lax.cond`` (rho only enters through diag(rho)).
+
+* **Indirect mode** is a diagonally-preconditioned CG on the same operator
+  (the reference CUDA backend solves the identical reduced system,
+  ref interface.py:254-264), with matvecs only.
+
+* **One fixed-point ``lax.while_loop``** carries iterates, residuals,
+  rho state and the Cholesky factor; termination checks and infeasibility
+  certificates run every ``check_termination`` iterations under ``lax.cond``.
+  All settings are traced scalars, so a single compilation serves every
+  tolerance/iteration-budget combination for a given problem shape.
+
+* Everything is written on pytrees of dense arrays so the entire solver can
+  be ``jax.vmap``-ed over stacked problem data (batched MPC north star) and
+  ``shard_map``-ed across device meshes (see osqp_tpu/parallel/).
+
+All numerical semantics (Ruiz scaling, vector rho with constraint typing,
+relaxation, unscaled-residual termination, certificate tests, 10x-inaccurate
+fallback, polishing acceptance) follow the reference spec; citations inline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import (
+    MAX_SCALING,
+    MIN_SCALING,
+    OSQP_INFTY,
+    RHO_EQ_OVER_RHO_INEQ,
+    RHO_MAX,
+    RHO_MIN,
+    RHO_TOL,
+    SolverStatus,
+)
+
+# Status codes as jnp-friendly ints
+_UNSOLVED = int(SolverStatus.OSQP_UNSOLVED)
+_SOLVED = int(SolverStatus.OSQP_SOLVED)
+_SOLVED_INACC = int(SolverStatus.OSQP_SOLVED_INACCURATE)
+_PRIM_INF = int(SolverStatus.OSQP_PRIMAL_INFEASIBLE)
+_PRIM_INF_INACC = int(SolverStatus.OSQP_PRIMAL_INFEASIBLE_INACCURATE)
+_DUAL_INF = int(SolverStatus.OSQP_DUAL_INFEASIBLE)
+_DUAL_INF_INACC = int(SolverStatus.OSQP_DUAL_INFEASIBLE_INACCURATE)
+_MAX_ITER = int(SolverStatus.OSQP_MAX_ITER_REACHED)
+_NON_CVX = int(SolverStatus.OSQP_NON_CVX)
+
+
+# ---------------------------------------------------------------------------
+# Pytrees
+# ---------------------------------------------------------------------------
+
+
+class QPData(NamedTuple):
+    """Scaled problem data (dense)."""
+
+    P: jax.Array  # (n, n) symmetric
+    q: jax.Array  # (n,)
+    A: jax.Array  # (m, n)
+    l: jax.Array  # (m,)
+    u: jax.Array  # (m,)
+
+
+class Scaling(NamedTuple):
+    D: jax.Array  # (n,)
+    Dinv: jax.Array  # (n,)
+    E: jax.Array  # (m,)
+    Einv: jax.Array  # (m,)
+    c: jax.Array  # scalar
+    cinv: jax.Array  # scalar
+
+
+class Settings(NamedTuple):
+    """Dynamic (traced) solver settings; one compile covers all values."""
+
+    sigma: jax.Array
+    alpha: jax.Array
+    eps_abs: jax.Array
+    eps_rel: jax.Array
+    eps_prim_inf: jax.Array
+    eps_dual_inf: jax.Array
+    max_iter: jax.Array  # int32
+    check_termination: jax.Array  # int32 (0 = never)
+    scaled_termination: jax.Array  # bool
+    adaptive_rho: jax.Array  # bool
+    adaptive_rho_interval: jax.Array  # int32 (effective, host-aligned)
+    adaptive_rho_tolerance: jax.Array
+    rho_is_vec: jax.Array  # bool
+    cg_max_iter: jax.Array  # int32
+    cg_tol_fraction: jax.Array
+    cg_eps_min: jax.Array  # dtype-dependent CG floor
+
+
+class RhoState(NamedTuple):
+    rho: jax.Array  # scalar (clamped setting value)
+    rho_vec: jax.Array  # (m,)
+    rho_inv_vec: jax.Array  # (m,)
+    constr_type: jax.Array  # (m,) int8: -1 loose, 0 ineq, 1 eq
+
+
+class Factor(NamedTuple):
+    """Direct-mode Cholesky factor of M(rho); indirect mode carries the
+    diagonal preconditioner instead (L unused, diag used)."""
+
+    L: jax.Array  # (n, n) lower
+    diag: jax.Array  # (n,) diag(M) for the CG preconditioner
+
+
+class Iterates(NamedTuple):
+    x: jax.Array  # (n,)
+    z: jax.Array  # (m,)
+    y: jax.Array  # (m,)
+
+
+class LoopState(NamedTuple):
+    it: jax.Array  # int32, iterations completed
+    status: jax.Array  # int32
+    x: jax.Array
+    z: jax.Array
+    y: jax.Array
+    xtld: jax.Array  # last x_tilde (CG warm start)
+    delta_x: jax.Array
+    delta_y: jax.Array
+    rho: RhoState
+    factor: Factor
+    # info scalars (updated at check iterations)
+    pri_res: jax.Array
+    dua_res: jax.Array
+    obj_val: jax.Array
+    dual_obj_val: jax.Array
+    rho_estimate: jax.Array
+    rho_updates: jax.Array  # int32
+    cg_tol: jax.Array  # adaptive CG relative tolerance
+    cg_iters: jax.Array  # int32, cumulative CG iterations
+
+
+class SolveResult(NamedTuple):
+    x: jax.Array  # unscaled primal (NaN if infeasible)
+    y: jax.Array  # unscaled dual (NaN if infeasible)
+    prim_inf_cert: jax.Array
+    dual_inf_cert: jax.Array
+    status: jax.Array
+    iters: jax.Array
+    pri_res: jax.Array
+    dua_res: jax.Array
+    obj_val: jax.Array
+    dual_obj_val: jax.Array
+    duality_gap: jax.Array
+    rho_estimate: jax.Array
+    rho_updates: jax.Array
+    cg_iters: jax.Array
+    iterates: Iterates  # final scaled iterates (for warm restarts)
+    rho: RhoState
+    factor: Factor
+
+
+# ---------------------------------------------------------------------------
+# Small helpers
+# ---------------------------------------------------------------------------
+
+
+def _inf_norm(v):
+    return jnp.max(jnp.abs(v)) if v.size else jnp.zeros((), v.dtype)
+
+
+def _limit_scaling(v):
+    """Ruiz norm clamp (ref _osqp.py:363-387)."""
+    return jnp.where(v < MIN_SCALING, 1.0, jnp.minimum(v, MAX_SCALING))
+
+
+# ---------------------------------------------------------------------------
+# Ruiz equilibration (ref _osqp.py:389-497)
+# ---------------------------------------------------------------------------
+
+
+def ruiz_scale(P, q, A, l, u, n_iters: int):
+    """Modified-Ruiz equilibration of the stacked KKT columns plus cost
+    normalization.  Returns (QPData, Scaling).  Fully traced: one fori_loop
+    with dense row/col inf-norm reductions (VPU-friendly)."""
+    n = P.shape[0]
+    m = A.shape[0]
+    dtype = P.dtype
+
+    def body(_, carry):
+        P, q, A, l, u, D, E, c = carry
+        norm_P_col = jnp.max(jnp.abs(P), axis=0) if n else jnp.zeros((0,), dtype)
+        if m:
+            norm_A_col = jnp.max(jnp.abs(A), axis=0)
+            norm_A_row = jnp.max(jnp.abs(A), axis=1)
+        else:
+            norm_A_col = jnp.zeros((n,), dtype)
+            norm_A_row = jnp.zeros((0,), dtype)
+        d = 1.0 / jnp.sqrt(_limit_scaling(jnp.maximum(norm_P_col, norm_A_col)))
+        e = 1.0 / jnp.sqrt(_limit_scaling(norm_A_row))
+
+        P = d[:, None] * P * d[None, :]
+        A = e[:, None] * A * d[None, :]
+        q = d * q
+        l = e * l
+        u = e * u
+        D = D * d
+        E = E * e
+
+        # cost normalization (ref _osqp.py:443-468)
+        norm_P_cols_mean = jnp.mean(jnp.max(jnp.abs(P), axis=0)) if n else jnp.zeros((), dtype)
+        inf_norm_q = _limit_scaling(_inf_norm(q))
+        scale_cost = 1.0 / _limit_scaling(jnp.maximum(inf_norm_q, norm_P_cols_mean))
+        P = scale_cost * P
+        q = scale_cost * q
+        c = scale_cost * c
+        return (P, q, A, l, u, D, E, c)
+
+    D0 = jnp.ones((n,), dtype)
+    E0 = jnp.ones((m,), dtype)
+    c0 = jnp.ones((), dtype)
+    P, q, A, l, u, D, E, c = lax.fori_loop(0, n_iters, body, (P, q, A, l, u, D0, E0, c0))
+    scal = Scaling(D=D, Dinv=1.0 / D, E=E, Einv=1.0 / E if m else E, c=c, cinv=1.0 / c)
+    return QPData(P=P, q=q, A=A, l=l, u=u), scal
+
+
+def identity_scaling(n, m, dtype):
+    one_n = jnp.ones((n,), dtype)
+    one_m = jnp.ones((m,), dtype)
+    one = jnp.ones((), dtype)
+    return Scaling(D=one_n, Dinv=one_n, E=one_m, Einv=one_m, c=one, cinv=one)
+
+
+# ---------------------------------------------------------------------------
+# rho management (ref _osqp.py:499-562)
+# ---------------------------------------------------------------------------
+
+
+def constraint_types(l, u):
+    loose = (l < -OSQP_INFTY * MIN_SCALING) & (u > OSQP_INFTY * MIN_SCALING)
+    eq = (~loose) & (u - l < RHO_TOL)
+    return jnp.where(loose, -1, jnp.where(eq, 1, 0)).astype(jnp.int8)
+
+
+def rho_vec_from_types(types, rho, rho_is_vec):
+    rho = jnp.clip(rho, RHO_MIN, RHO_MAX)
+    vec = jnp.where(
+        types == -1,
+        RHO_MIN,
+        jnp.where(types == 1, RHO_EQ_OVER_RHO_INEQ * rho, rho),
+    )
+    return jnp.where(rho_is_vec, vec, rho * jnp.ones_like(vec))
+
+
+def make_rho_state(l, u, rho, rho_is_vec) -> RhoState:
+    rho = jnp.clip(jnp.asarray(rho, l.dtype), RHO_MIN, RHO_MAX)
+    types = constraint_types(l, u)
+    vec = rho_vec_from_types(types, rho, rho_is_vec)
+    inv = jnp.where(vec > 0, 1.0 / vec, 0.0)
+    return RhoState(rho=rho, rho_vec=vec, rho_inv_vec=inv, constr_type=types)
+
+
+# ---------------------------------------------------------------------------
+# KKT operator
+# ---------------------------------------------------------------------------
+
+
+def build_M(P, A, sigma, rho_vec):
+    """Normal-equations operator M = P + sigma I + A' diag(rho) A."""
+    n = P.shape[0]
+    M = P + sigma * jnp.eye(n, dtype=P.dtype)
+    if A.shape[0]:
+        M = M + A.T @ (rho_vec[:, None] * A)
+    return M
+
+
+def build_M_diag(P, A, sigma, rho_vec):
+    """diag(M) without forming M (CG preconditioner)."""
+    d = jnp.diagonal(P) + sigma
+    if A.shape[0]:
+        d = d + jnp.sum(rho_vec[:, None] * A * A, axis=0)
+    return d
+
+
+def factorize(P, A, sigma, rho_vec) -> Factor:
+    M = build_M(P, A, sigma, rho_vec)
+    L = jnp.linalg.cholesky(M)
+    return Factor(L=L, diag=jnp.diagonal(M))
+
+
+@jax.jit
+def jit_ruiz(P, q, A, l, u, n_iters):
+    return ruiz_scale(P, q, A, l, u, n_iters)
+
+
+def _cho_solve(L, b):
+    t = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, t, lower=False)
+
+
+def pcg_solve(P, A, sigma, rho_vec, diag, b, x0, rel_tol, max_iter):
+    """Diagonally-preconditioned conjugate gradient on M(rho).
+
+    Matvec-only (MXU matmuls); runs a while_loop until
+    ``||r||_2 <= rel_tol * ||b||_2`` or ``max_iter``.  Returns (x, iters).
+    """
+
+    def matvec(v):
+        Mv = P @ v + sigma * v
+        if A.shape[0]:
+            Mv = Mv + A.T @ (rho_vec * (A @ v))
+        return Mv
+
+    dinv = 1.0 / diag
+    b_norm = jnp.sqrt(b @ b)
+    tol = jnp.maximum(rel_tol * b_norm, jnp.finfo(b.dtype).tiny)
+
+    r0 = b - matvec(x0)
+    z0 = dinv * r0
+    p0 = z0
+
+    def cond(carry):
+        x, r, z, p, rz, k = carry
+        return (jnp.sqrt(r @ r) > tol) & (k < max_iter)
+
+    def body(carry):
+        x, r, z, p, rz, k = carry
+        Mp = matvec(p)
+        denom = p @ Mp
+        alpha = rz / jnp.where(denom != 0, denom, 1.0)
+        x = x + alpha * p
+        r = r - alpha * Mp
+        z = dinv * r
+        rz_new = r @ z
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, k + 1)
+
+    x, r, z, p, rz, k = lax.while_loop(cond, body, (x0, r0, z0, p0, r0 @ z0, jnp.int32(0)))
+    return x, k
+
+
+# ---------------------------------------------------------------------------
+# Residuals / termination (ref _osqp.py:705-878, 998-1077)
+# ---------------------------------------------------------------------------
+
+
+class CheckOutcome(NamedTuple):
+    status: jax.Array
+    pri_res: jax.Array
+    dua_res: jax.Array
+    obj_val: jax.Array
+    dual_obj_val: jax.Array
+
+
+def _residual_bundle(data: QPData, scal: Scaling, x, z, y, unscaled):
+    """All matvecs needed by one termination check."""
+    m = data.A.shape[0]
+    Px = data.P @ x
+    Ax = data.A @ x if m else jnp.zeros((0,), x.dtype)
+    Aty = data.A.T @ y if m else jnp.zeros_like(x)
+    return Px, Ax, Aty
+
+
+def compute_info(data: QPData, scal: Scaling, st_x, st_z, st_y, settings: Settings):
+    """Residual norms + objective values, scaled or unscaled per settings."""
+    m = data.A.shape[0]
+    dtype = st_x.dtype
+    unscaled = ~settings.scaled_termination
+    Px, Ax, Aty = _residual_bundle(data, scal, st_x, st_z, st_y, unscaled)
+
+    # primal residual (ref _osqp.py:714-726)
+    if m:
+        pri_vec = Ax - st_z
+        pri_res = jnp.where(unscaled, _inf_norm(scal.Einv * pri_vec), _inf_norm(pri_vec))
+    else:
+        pri_res = jnp.zeros((), dtype)
+
+    # dual residual (ref _osqp.py:753-764)
+    dua_vec = Px + data.q + Aty
+    dua_res = jnp.where(
+        unscaled, scal.cinv * _inf_norm(scal.Dinv * dua_vec), _inf_norm(dua_vec)
+    )
+
+    # objective (ref _osqp.py:705-712)
+    quad = 0.5 * (st_x @ Px)
+    obj_val = (quad + data.q @ st_x) * scal.cinv
+
+    # unscaled dual objective (loose-bound terms dropped)
+    if m:
+        y_u = scal.cinv * (scal.E * st_y)
+        l_u = scal.Einv * data.l
+        u_u = scal.Einv * data.u
+        sup = jnp.sum(jnp.where(u_u < OSQP_INFTY * MIN_SCALING, u_u * jnp.maximum(y_u, 0), 0.0)) + jnp.sum(
+            jnp.where(l_u > -OSQP_INFTY * MIN_SCALING, l_u * jnp.minimum(y_u, 0), 0.0)
+        )
+    else:
+        sup = jnp.zeros((), dtype)
+    dual_obj_val = -quad * scal.cinv - sup
+
+    # negative curvature -> non-convex flag via exploding residual
+    # (quad form of an indefinite P goes negative along the divergent ray)
+    noncvx = quad * scal.cinv < -1e-12 * jnp.maximum(1.0, st_x @ st_x)
+    pri_res = jnp.where(noncvx, 2 * OSQP_INFTY, pri_res)
+
+    # tolerances (ref _osqp.py:728-751, 766-794)
+    if m:
+        Ax_t = jnp.where(unscaled, _inf_norm(scal.Einv * Ax), _inf_norm(Ax))
+        z_t = jnp.where(unscaled, _inf_norm(scal.Einv * st_z), _inf_norm(st_z))
+        max_rel_pri = jnp.maximum(Ax_t, z_t)
+    else:
+        max_rel_pri = jnp.zeros((), dtype)
+    eps_pri = settings.eps_abs + settings.eps_rel * max_rel_pri
+
+    def _d(v):
+        return jnp.where(unscaled, _inf_norm(scal.Dinv * v), _inf_norm(v))
+
+    scale_d = jnp.where(unscaled, scal.cinv, jnp.ones((), dtype))
+    max_rel_dua = scale_d * jnp.maximum(jnp.maximum(_d(Aty), _d(Px)), _d(data.q))
+    eps_dua = settings.eps_abs + settings.eps_rel * max_rel_dua
+
+    return pri_res, dua_res, obj_val, dual_obj_val, eps_pri, eps_dua
+
+
+def primal_infeasibility(data: QPData, scal: Scaling, delta_y, eps_prim_inf, unscaled):
+    """(ref _osqp.py:796-820)"""
+    m = data.A.shape[0]
+    if m == 0:
+        return jnp.zeros((), bool)
+    norm_dy = jnp.where(unscaled, _inf_norm(scal.E * delta_y), _inf_norm(delta_y))
+    lhs = data.u @ jnp.maximum(delta_y, 0) + data.l @ jnp.minimum(delta_y, 0)
+    At_dy = data.A.T @ delta_y
+    At_dy_n = jnp.where(unscaled, _inf_norm(scal.Dinv * At_dy), _inf_norm(At_dy))
+    return (
+        (norm_dy > eps_prim_inf)
+        & (lhs < -eps_prim_inf * norm_dy)
+        & (At_dy_n < eps_prim_inf * norm_dy)
+    )
+
+
+def dual_infeasibility(data: QPData, scal: Scaling, delta_x, eps_dual_inf, unscaled):
+    """(ref _osqp.py:822-878)"""
+    m = data.A.shape[0]
+    dtype = delta_x.dtype
+    norm_dx = jnp.where(unscaled, _inf_norm(scal.D * delta_x), _inf_norm(delta_x))
+    cost_scale = jnp.where(unscaled, scal.c, jnp.ones((), dtype))
+    ok = norm_dx > eps_dual_inf
+    ok &= (data.q @ delta_x) < -cost_scale * eps_dual_inf * norm_dx
+    P_dx = data.P @ delta_x
+    P_dx_n = jnp.where(unscaled, _inf_norm(scal.Dinv * P_dx), _inf_norm(P_dx))
+    ok &= P_dx_n < cost_scale * eps_dual_inf * norm_dx
+    if m:
+        A_dx = data.A @ delta_x
+        A_dx = jnp.where(unscaled, scal.Einv * A_dx, A_dx)
+        u_finite = data.u < OSQP_INFTY * MIN_SCALING
+        l_finite = data.l > -OSQP_INFTY * MIN_SCALING
+        bad = (u_finite & (A_dx > eps_dual_inf * norm_dx)) | (
+            l_finite & (A_dx < -eps_dual_inf * norm_dx)
+        )
+        ok &= ~jnp.any(bad)
+    return ok
+
+
+def termination_status(
+    data: QPData,
+    scal: Scaling,
+    st: 'LoopState',
+    settings: Settings,
+    approximate: bool,
+):
+    """Full termination decision given freshly-computed residual info in
+    ``st``.  Returns the new status (UNSOLVED if not terminal)."""
+    factor = 10.0 if approximate else 1.0
+    eps_abs = settings.eps_abs * factor
+    eps_rel = settings.eps_rel * factor
+    eps_pinf = settings.eps_prim_inf * factor
+    eps_dinf = settings.eps_dual_inf * factor
+    unscaled = ~settings.scaled_termination
+    m = data.A.shape[0]
+
+    sub = settings._replace(eps_abs=eps_abs, eps_rel=eps_rel)
+    pri_res, dua_res, obj_val, dual_obj, eps_pri, eps_dua = compute_info(
+        data, scal, st.x, st.z, st.y, sub
+    )
+
+    noncvx = (pri_res > OSQP_INFTY) | (dua_res > OSQP_INFTY)
+    pri_check = pri_res < eps_pri if m else jnp.ones((), bool)
+    dua_check = dua_res < eps_dua
+    pinf = jnp.where(
+        pri_check, False, primal_infeasibility(data, scal, st.delta_y, eps_pinf, unscaled)
+    )
+    dinf = jnp.where(
+        dua_check, False, dual_infeasibility(data, scal, st.delta_x, eps_dinf, unscaled)
+    )
+
+    solved_code = _SOLVED_INACC if approximate else _SOLVED
+    pinf_code = _PRIM_INF_INACC if approximate else _PRIM_INF
+    dinf_code = _DUAL_INF_INACC if approximate else _DUAL_INF
+
+    status = jnp.where(
+        noncvx,
+        _NON_CVX,
+        jnp.where(
+            pri_check & dua_check,
+            solved_code,
+            jnp.where(pinf, pinf_code, jnp.where(dinf, dinf_code, _UNSOLVED)),
+        ),
+    ).astype(jnp.int32)
+
+    obj_val = jnp.where(
+        status == _NON_CVX,
+        jnp.nan,
+        jnp.where(
+            (status == pinf_code),
+            OSQP_INFTY,
+            jnp.where(status == dinf_code, -OSQP_INFTY, obj_val),
+        ),
+    )
+    return status, pri_res, dua_res, obj_val, dual_obj
+
+
+# ---------------------------------------------------------------------------
+# ADMM iteration (ref _osqp.py:644-703)
+# ---------------------------------------------------------------------------
+
+
+def admm_iteration(data: QPData, settings: Settings, st: LoopState, indirect: bool):
+    """One ADMM step; returns updated iterate fields + CG bookkeeping."""
+    n = data.P.shape[0]
+    m = data.A.shape[0]
+    x_prev, z_prev, y = st.x, st.z, st.y
+    rho_vec, rho_inv = st.rho.rho_vec, st.rho.rho_inv_vec
+
+    # KKT rhs, reduced to the normal-equations rhs:
+    #   b1 = sigma x - q ; b2 = z - y/rho ;  rhs = b1 + A' diag(rho) b2
+    b1 = settings.sigma * x_prev - data.q
+    if m:
+        b2 = z_prev - rho_inv * y
+        rhs = b1 + data.A.T @ (rho_vec * b2)
+    else:
+        b2 = jnp.zeros((0,), x_prev.dtype)
+        rhs = b1
+
+    if indirect:
+        x_tilde, k = pcg_solve(
+            data.P,
+            data.A,
+            settings.sigma,
+            rho_vec,
+            st.factor.diag,
+            rhs,
+            st.xtld,
+            st.cg_tol,
+            settings.cg_max_iter,
+        )
+        cg_iters = st.cg_iters + k
+    else:
+        x_tilde = _cho_solve(st.factor.L, rhs)
+        cg_iters = st.cg_iters
+
+    if m:
+        nu = rho_vec * (data.A @ x_tilde - b2)
+        z_tilde = z_prev + rho_inv * (nu - y)
+    else:
+        z_tilde = jnp.zeros((0,), x_prev.dtype)
+
+    alpha = settings.alpha
+    x = alpha * x_tilde + (1.0 - alpha) * x_prev
+    if m:
+        z_relax = alpha * z_tilde + (1.0 - alpha) * z_prev
+        z = jnp.clip(z_relax + rho_inv * y, data.l, data.u)
+        delta_y = rho_vec * (z_relax - z)
+        y = y + delta_y
+    else:
+        z = z_prev
+        delta_y = jnp.zeros((0,), x_prev.dtype)
+
+    return st._replace(
+        x=x,
+        z=z,
+        y=y,
+        xtld=x_tilde,
+        delta_x=x - x_prev,
+        delta_y=delta_y,
+        cg_iters=cg_iters,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive rho (ref _osqp.py:880-930)
+# ---------------------------------------------------------------------------
+
+
+def rho_estimate_fn(data: QPData, x, z, y, rho):
+    m = data.A.shape[0]
+    Ax = data.A @ x if m else jnp.zeros((0,), x.dtype)
+    Px = data.P @ x
+    Aty = data.A.T @ y if m else jnp.zeros_like(x)
+    pri = _inf_norm(Ax - z) if m else jnp.zeros((), x.dtype)
+    pri = pri / (jnp.maximum(_inf_norm(Ax), _inf_norm(z)) + 1e-10) if m else pri
+    dua = _inf_norm(Px + data.q + Aty)
+    dua = dua / (
+        jnp.maximum(jnp.maximum(_inf_norm(Aty), _inf_norm(Px)), _inf_norm(data.q)) + 1e-10
+    )
+    new_rho = rho * jnp.sqrt(pri / (dua + 1e-10))
+    return jnp.clip(new_rho, RHO_MIN, RHO_MAX)
+
+
+def adapt_rho(data: QPData, settings: Settings, st: LoopState, indirect: bool):
+    rho_new = rho_estimate_fn(data, st.x, st.z, st.y, st.rho.rho)
+    tol = settings.adaptive_rho_tolerance
+    trigger = (rho_new > tol * st.rho.rho) | (rho_new < st.rho.rho / tol)
+
+    def do_update(st):
+        vec = rho_vec_from_types(st.rho.constr_type, rho_new, settings.rho_is_vec)
+        inv = jnp.where(vec > 0, 1.0 / vec, 0.0)
+        rho = RhoState(
+            rho=jnp.clip(rho_new, RHO_MIN, RHO_MAX),
+            rho_vec=vec,
+            rho_inv_vec=inv,
+            constr_type=st.rho.constr_type,
+        )
+        if indirect:
+            M_diag = (
+                jnp.diagonal(data.P)
+                + settings.sigma
+                + (jnp.sum(vec[:, None] * data.A * data.A, axis=0) if data.A.shape[0] else 0.0)
+            )
+            factor = Factor(L=st.factor.L, diag=M_diag)
+        else:
+            factor = factorize(data.P, data.A, settings.sigma, vec)
+        return st._replace(rho=rho, factor=factor, rho_updates=st.rho_updates + 1)
+
+    st = lax.cond(trigger, do_update, lambda s: s, st)
+    return st._replace(rho_estimate=rho_new)
+
+
+# ---------------------------------------------------------------------------
+# The solve loop
+# ---------------------------------------------------------------------------
+
+
+def _run_check(data, scal, settings, st):
+    status, pri, dua, obj, dual_obj = termination_status(data, scal, st, settings, False)
+    return st._replace(
+        status=status, pri_res=pri, dua_res=dua, obj_val=obj, dual_obj_val=dual_obj
+    )
+
+
+@functools.partial(jax.jit, static_argnames=('indirect', 'verbose'))
+def solve_scaled(
+    data: QPData,
+    scal: Scaling,
+    settings: Settings,
+    rho: RhoState,
+    factor: Factor,
+    iterates: Iterates,
+    indirect: bool = False,
+    verbose: bool = False,
+) -> SolveResult:
+    """Run the full ADMM fixed-point loop on already-scaled data.
+
+    The single entry point for single-QP, vmapped-batch and sharded solves.
+    """
+    n = data.P.shape[0]
+    m = data.A.shape[0]
+    dtype = data.P.dtype
+
+    st = LoopState(
+        it=jnp.int32(0),
+        status=jnp.int32(_UNSOLVED),
+        x=iterates.x,
+        z=iterates.z,
+        y=iterates.y,
+        xtld=iterates.x,
+        delta_x=jnp.zeros((n,), dtype),
+        delta_y=jnp.zeros((m,), dtype),
+        rho=rho,
+        factor=factor,
+        pri_res=jnp.asarray(jnp.inf, dtype),
+        dua_res=jnp.asarray(jnp.inf, dtype),
+        obj_val=jnp.asarray(jnp.nan, dtype),
+        dual_obj_val=jnp.asarray(jnp.nan, dtype),
+        rho_estimate=rho.rho,
+        rho_updates=jnp.int32(0),
+        cg_tol=jnp.asarray(0.15, dtype),
+        cg_iters=jnp.int32(0),
+    )
+
+    ct = settings.check_termination
+    interval = settings.adaptive_rho_interval
+
+    def cond(st: LoopState):
+        return (st.it < settings.max_iter) & (st.status == _UNSOLVED)
+
+    def body(st: LoopState):
+        st = admm_iteration(data, settings, st, indirect)
+        it = st.it + 1
+        st = st._replace(it=it)
+
+        do_check = (ct > 0) & (it % jnp.maximum(ct, 1) == 0)
+        st = lax.cond(do_check, lambda s: _run_check(data, scal, settings, s), lambda s: s, st)
+
+        if verbose:
+            def _print(it, obj, pri, dua, rho_val):
+                jax.debug.print(
+                    '{it:4d}  {obj:.4e}  {pri:.2e}  {dua:.2e}  {rho:.2e}',
+                    it=it, obj=obj, pri=pri, dua=dua, rho=rho_val,
+                )
+            lax.cond(
+                do_check & ((it % 200 == 0) | (it == 1)),
+                lambda: _print(it, st.obj_val, st.pri_res, st.dua_res, st.rho.rho),
+                lambda: None,
+            )
+
+        # adaptive CG tolerance: tighten toward the residual scale
+        new_cg_tol = jnp.clip(
+            settings.cg_tol_fraction * jnp.sqrt(st.pri_res * st.dua_res),
+            settings.cg_eps_min,
+            0.15,
+        )
+        st = st._replace(cg_tol=jnp.where(do_check, new_cg_tol, st.cg_tol))
+
+        do_adapt = (
+            settings.adaptive_rho
+            & (interval > 0)
+            & (it % jnp.maximum(interval, 1) == 0)
+            & (st.status == _UNSOLVED)
+        )
+        st = lax.cond(
+            do_adapt, lambda s: adapt_rho(data, settings, s, indirect), lambda s: s, st
+        )
+        return st
+
+    st = lax.while_loop(cond, body, st)
+
+    # Post-loop bookkeeping (ref _osqp.py:1248-1275): if no terminal status,
+    # re-check exactly, then approximately (10x eps), else MAX_ITER_REACHED.
+    def finish_unsolved(st):
+        st = _run_check(data, scal, settings, st)
+        def approx(st):
+            status, pri, dua, obj, dual_obj = termination_status(
+                data, scal, st, settings, True
+            )
+            status = jnp.where(status == _UNSOLVED, _MAX_ITER, status).astype(jnp.int32)
+            # keep the accurate residuals for reporting
+            return st._replace(status=status, obj_val=jnp.where(
+                jnp.isin(status, jnp.array([_PRIM_INF_INACC, _DUAL_INF_INACC, _NON_CVX])),
+                obj, st.obj_val))
+        return lax.cond(st.status == _UNSOLVED, approx, lambda s: s, st)
+
+    st = lax.cond(st.status == _UNSOLVED, finish_unsolved, lambda s: s, st)
+
+    rho_est = rho_estimate_fn(data, st.x, st.z, st.y, st.rho.rho)
+
+    # Unscale the solution (ref _osqp.py:1098-1115)
+    infeasible = jnp.isin(
+        st.status, jnp.array([_PRIM_INF, _PRIM_INF_INACC, _DUAL_INF, _DUAL_INF_INACC])
+    )
+    x_out = jnp.where(infeasible, jnp.nan, scal.D * st.x)
+    y_out = jnp.where(infeasible, jnp.nan, scal.cinv * (scal.E * st.y)) if m else st.y
+
+    unscaled = ~settings.scaled_termination
+    prim_cert = jnp.where(unscaled, scal.E * st.delta_y, st.delta_y) if m else st.delta_y
+    dual_cert = jnp.where(unscaled, scal.D * st.delta_x, st.delta_x)
+
+    return SolveResult(
+        x=x_out,
+        y=y_out,
+        prim_inf_cert=prim_cert,
+        dual_inf_cert=dual_cert,
+        status=st.status,
+        iters=st.it,
+        pri_res=st.pri_res,
+        dua_res=st.dua_res,
+        obj_val=st.obj_val,
+        dual_obj_val=st.dual_obj_val,
+        duality_gap=st.obj_val - st.dual_obj_val,
+        rho_estimate=rho_est,
+        rho_updates=st.rho_updates,
+        cg_iters=st.cg_iters,
+        iterates=Iterates(x=st.x, z=st.z, y=st.y),
+        rho=st.rho,
+        factor=st.factor,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Polish (ref _osqp.py:1693-1828) - shape-stable via active-set masking
+# ---------------------------------------------------------------------------
+
+
+class PolishResult(NamedTuple):
+    success: jax.Array  # bool
+    x: jax.Array
+    z: jax.Array
+    y: jax.Array
+    obj_val: jax.Array
+    pri_res: jax.Array
+    dua_res: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=())
+def polish(
+    data: QPData,
+    scal: Scaling,
+    settings: Settings,
+    delta: jax.Array,
+    refine_iters: jax.Array,
+    x: jax.Array,
+    z: jax.Array,
+    y: jax.Array,
+    pri_res: jax.Array,
+    dua_res: jax.Array,
+) -> PolishResult:
+    """Active-set polish.  The data-dependent reduced system is handled
+    shape-stably: inactive rows of A are masked to zero, which makes the
+    (2,2) block enforce ``y_i = 0`` exactly for inactive constraints."""
+    n = data.P.shape[0]
+    m = data.A.shape[0]
+    dtype = x.dtype
+
+    if m:
+        low = (z - data.l) < -y  # lower-active guess (ref _osqp.py:1719)
+        upp = (data.u - z) < y  # upper-active guess (ref _osqp.py:1720)
+        active = low | upp
+        mask = active.astype(dtype)
+        Ared = mask[:, None] * data.A
+        b2 = jnp.where(low, data.l, jnp.where(upp, data.u, 0.0))
+    else:
+        active = jnp.zeros((0,), bool)
+        mask = jnp.zeros((0,), dtype)
+        Ared = data.A
+        b2 = jnp.zeros((0,), dtype)
+
+    # Reduced KKT [[P+dI, Ared'],[Ared, -dI]] solved via its Schur form
+    # M = P + dI + Ared' (1/d) Ared ; inactive rows yield y_i = 0.
+    M = data.P + delta * jnp.eye(n, dtype=dtype)
+    if m:
+        M = M + Ared.T @ (Ared / delta)
+    L = jnp.linalg.cholesky(M)
+
+    b1 = -data.q
+
+    def kkt_solve(r1, r2):
+        rhs = r1 + (Ared.T @ (r2 / delta) if m else 0.0)
+        xs = _cho_solve(L, rhs)
+        ys = ((Ared @ xs) - r2) / delta if m else jnp.zeros((0,), dtype)
+        return xs, ys
+
+    x_pol, y_red = kkt_solve(b1, b2)
+
+    # Iterative refinement against the *unregularized* reduced KKT operator
+    # (ref _osqp.py:1693-1708)
+    def refine(i, carry):
+        xs, ys = carry
+        r1 = b1 - (data.P @ xs + (Ared.T @ ys if m else 0.0))
+        r2 = b2 - (Ared @ xs if m else jnp.zeros((0,), dtype))
+        dx, dy = kkt_solve(r1, r2)
+        return (xs + dx, ys + dy)
+
+    x_pol, y_red = lax.fori_loop(0, refine_iters, refine, (x_pol, y_red))
+
+    if m:
+        z_pol = data.A @ x_pol
+        y_pol = jnp.where(active, y_red, 0.0)
+        # normal-cone projection (ref _osqp.py:676-680)
+        tmp = z_pol + y_pol
+        z_pol = jnp.clip(tmp, data.l, data.u)
+        y_pol = tmp - z_pol
+    else:
+        z_pol = jnp.zeros((0,), dtype)
+        y_pol = jnp.zeros((0,), dtype)
+
+    sub = Settings(
+        sigma=settings.sigma,
+        alpha=settings.alpha,
+        eps_abs=settings.eps_abs,
+        eps_rel=settings.eps_rel,
+        eps_prim_inf=settings.eps_prim_inf,
+        eps_dual_inf=settings.eps_dual_inf,
+        max_iter=settings.max_iter,
+        check_termination=settings.check_termination,
+        scaled_termination=settings.scaled_termination,
+        adaptive_rho=settings.adaptive_rho,
+        adaptive_rho_interval=settings.adaptive_rho_interval,
+        adaptive_rho_tolerance=settings.adaptive_rho_tolerance,
+        rho_is_vec=settings.rho_is_vec,
+        cg_max_iter=settings.cg_max_iter,
+        cg_tol_fraction=settings.cg_tol_fraction,
+        cg_eps_min=settings.cg_eps_min,
+    )
+    pri_pol, dua_pol, obj_pol, _, _, _ = compute_info(data, scal, x_pol, z_pol, y_pol, sub)
+
+    # acceptance test (ref _osqp.py:1786-1793)
+    success = (
+        ((pri_pol < pri_res) & (dua_pol < dua_res))
+        | ((pri_pol < pri_res) & (dua_res < 1e-10))
+        | ((dua_pol < dua_res) & (pri_res < 1e-10))
+    )
+    return PolishResult(
+        success=success,
+        x=x_pol,
+        z=z_pol,
+        y=y_pol,
+        obj_val=obj_pol,
+        pri_res=pri_pol,
+        dua_res=dua_pol,
+    )
