@@ -698,7 +698,7 @@ def solve_scaled(
         dual_obj_val=jnp.asarray(jnp.nan, dtype),
         rho_estimate=rho.rho,
         rho_updates=jnp.int32(0),
-        cg_tol=jnp.asarray(0.15, dtype),
+        cg_tol=jnp.asarray(1e-3, dtype),
         cg_iters=jnp.int32(0),
     )
 
@@ -713,6 +713,7 @@ def solve_scaled(
         it = st.it + 1
         st = st._replace(it=it)
 
+        pri_before, dua_before = st.pri_res, st.dua_res
         do_check = (ct > 0) & (it % jnp.maximum(ct, 1) == 0)
         st = lax.cond(do_check, lambda s: _run_check(data, scal, settings, s), lambda s: s, st)
 
@@ -728,11 +729,18 @@ def solve_scaled(
                 lambda: None,
             )
 
-        # adaptive CG tolerance: tighten toward the residual scale
+        # Adaptive CG tolerance (indirect mode): monotone tightening toward
+        # the ADMM residual scale, with a forced 10x reduction whenever the
+        # residuals stall - this breaks the loose-CG / stalled-ADMM deadlock
+        # (role of the reference's cg_tol_reduction/cg_tol_fraction settings,
+        # reference bindings.cpp.in:426-428).
+        candidate = settings.cg_tol_fraction * jnp.sqrt(st.pri_res * st.dua_res)
         new_cg_tol = jnp.clip(
-            settings.cg_tol_fraction * jnp.sqrt(st.pri_res * st.dua_res),
-            settings.cg_eps_min,
-            0.15,
+            jnp.minimum(st.cg_tol, candidate), settings.cg_eps_min, 0.15
+        )
+        stalled = (st.pri_res > 0.5 * pri_before) & (st.dua_res > 0.5 * dua_before)
+        new_cg_tol = jnp.where(
+            stalled, jnp.maximum(new_cg_tol * 0.1, settings.cg_eps_min), new_cg_tol
         )
         st = st._replace(cg_tol=jnp.where(do_check, new_cg_tol, st.cg_tol))
 

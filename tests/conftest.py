@@ -1,0 +1,44 @@
+"""Test parametrization ladder.
+
+Adopts the reference's backend/tolerance parametrization pattern
+(reference: src/osqp/tests/conftest.py:5-31): every test is parametrized over
+``(algebra, solver_type, atol, rtol, decimal_tol)`` with a tolerance ladder;
+env vars ``OSQP_TPU_TEST_ALGEBRA_INCLUDE`` / ``OSQP_TPU_TEST_ALGEBRA_SKIP``
+select rows.
+
+Default test device is JAX CPU (float64) so the suite runs anywhere;
+set ``OSQP_TPU_TEST_DEVICE=tpu`` to run the jax rows on a real chip.
+"""
+
+import os
+
+# Must be set before jax initializes inside osqp_tpu.
+os.environ.setdefault('OSQP_TPU_DEVICE', os.environ.get('OSQP_TPU_TEST_DEVICE', 'cpu'))
+
+import jax
+
+jax.config.update('jax_enable_x64', True)
+
+from osqp_tpu import algebra_available  # noqa: E402
+
+
+def pytest_generate_tests(metafunc):
+    if 'algebra' not in metafunc.fixturenames:
+        return
+
+    include = os.environ.get(
+        'OSQP_TPU_TEST_ALGEBRA_INCLUDE', 'numpy jax-direct jax-indirect'
+    ).split()
+    skip = os.environ.get('OSQP_TPU_TEST_ALGEBRA_SKIP', '').split()
+    rows = [x for x in include if x not in skip]
+
+    parameters = ('algebra', 'solver_type', 'atol', 'rtol', 'decimal_tol')
+    values = []
+    if algebra_available('numpy') and 'numpy' in rows:
+        values.append(('numpy', 'direct', 1e-3, 1e-4, 4))
+    if algebra_available('jax') and 'jax-direct' in rows:
+        values.append(('jax', 'direct', 1e-3, 1e-4, 4))
+    if algebra_available('jax') and 'jax-indirect' in rows:
+        values.append(('jax', 'indirect', 1e-3, 1e-4, 3))
+
+    metafunc.parametrize(parameters, values)
