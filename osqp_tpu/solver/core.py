@@ -662,8 +662,7 @@ def _run_check(data, scal, settings, st):
     )
 
 
-@functools.partial(jax.jit, static_argnames=('indirect', 'verbose'))
-def solve_scaled(
+def solve_scaled_impl(
     data: QPData,
     scal: Scaling,
     settings: Settings,
@@ -675,7 +674,8 @@ def solve_scaled(
 ) -> SolveResult:
     """Run the full ADMM fixed-point loop on already-scaled data.
 
-    The single entry point for single-QP, vmapped-batch and sharded solves.
+    The single entry point for single-QP, vmapped-batch and sharded solves
+    (unjitted; see ``solve_scaled`` for the jitted single-QP wrapper).
     """
     n = data.P.shape[0]
     m = data.A.shape[0]
@@ -702,15 +702,30 @@ def solve_scaled(
         cg_iters=jnp.int32(0),
     )
 
+    # Epoch structure: the outer while_loop advances one *epoch* (=
+    # check_termination iterations) per step; the inner fori_loop runs pure
+    # ADMM iterations with no conditionals.  Termination checks, adaptive rho
+    # and CG-tolerance updates happen only at epoch boundaries.  This is what
+    # makes the solver vmap-friendly: under vmap, lax.cond lowers to
+    # select-of-both-branches, so keeping the O(n^3) refactorization out of
+    # the per-iteration body is essential for the batched north-star workload.
     ct = settings.check_termination
+    epoch_len = jnp.where(ct > 0, ct, settings.max_iter).astype(jnp.int32)
     interval = settings.adaptive_rho_interval
+    # adaptive interval in whole epochs (rounded up)
+    epochs_per_adapt = jnp.maximum((interval + epoch_len - 1) // jnp.maximum(epoch_len, 1), 1)
 
     def cond(st: LoopState):
         return (st.it < settings.max_iter) & (st.status == _UNSOLVED)
 
     def body(st: LoopState):
-        st = admm_iteration(data, settings, st, indirect)
-        it = st.it + 1
+        this_epoch = jnp.minimum(epoch_len, settings.max_iter - st.it)
+
+        def inner(_, s):
+            return admm_iteration(data, settings, s, indirect)
+
+        st = lax.fori_loop(0, this_epoch, inner, st)
+        it = st.it + this_epoch
         st = st._replace(it=it)
 
         pri_before, dua_before = st.pri_res, st.dua_res
@@ -724,7 +739,7 @@ def solve_scaled(
                     it=it, obj=obj, pri=pri, dua=dua, rho=rho_val,
                 )
             lax.cond(
-                do_check & ((it % 200 == 0) | (it == 1)),
+                do_check & (it % 200 == 0),
                 lambda: _print(it, st.obj_val, st.pri_res, st.dua_res, st.rho.rho),
                 lambda: None,
             )
@@ -744,10 +759,11 @@ def solve_scaled(
         )
         st = st._replace(cg_tol=jnp.where(do_check, new_cg_tol, st.cg_tol))
 
+        epoch_idx = (it + epoch_len - 1) // jnp.maximum(epoch_len, 1)
         do_adapt = (
             settings.adaptive_rho
             & (interval > 0)
-            & (it % jnp.maximum(interval, 1) == 0)
+            & (epoch_idx % epochs_per_adapt == 0)
             & (st.status == _UNSOLVED)
         )
         st = lax.cond(
@@ -806,6 +822,9 @@ def solve_scaled(
         rho=st.rho,
         factor=st.factor,
     )
+
+
+solve_scaled = jax.jit(solve_scaled_impl, static_argnames=('indirect', 'verbose'))
 
 
 # ---------------------------------------------------------------------------

@@ -14,6 +14,11 @@ import os
 
 # Must be set before jax initializes inside osqp_tpu.
 os.environ.setdefault('OSQP_TPU_DEVICE', os.environ.get('OSQP_TPU_TEST_DEVICE', 'cpu'))
+if '--xla_force_host_platform_device_count' not in os.environ.get('XLA_FLAGS', ''):
+    # virtual 8-device CPU mesh for the sharding tests
+    os.environ['XLA_FLAGS'] = (
+        os.environ.get('XLA_FLAGS', '') + ' --xla_force_host_platform_device_count=8'
+    )
 
 import jax
 

@@ -1,0 +1,98 @@
+"""Multi-chip sharding tests on a virtual 8-device CPU mesh.
+
+The reference has no distributed runtime to mirror (SURVEY.md section 4:
+"Distributed/multi-node testing: none exists"); these tests pin down the new
+TPU-native scale-out layer (osqp_tpu/parallel/sharded.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from osqp_tpu.parallel.sharded import dp_mp_solve
+from osqp_tpu._oracle.solver import ReferenceSolver
+
+import scipy.sparse as sparse
+
+
+def _mesh(shape, names):
+    devs = jax.devices('cpu')
+    need = int(np.prod(shape))
+    if len(devs) < need:
+        pytest.skip(f'need {need} cpu devices, have {len(devs)}')
+    return Mesh(np.array(devs[:need]).reshape(shape), names)
+
+
+def _random_batch(B, n, m, seed=0):
+    rng = np.random.default_rng(seed)
+    L = rng.standard_normal((B, n, n))
+    P = 0.1 * np.einsum('bij,bkj->bik', L, L) + 0.1 * np.eye(n)
+    q = rng.standard_normal((B, n))
+    A = rng.standard_normal((B, m, n))
+    x0 = rng.standard_normal((B, n))
+    s0 = rng.random((B, m))
+    u = np.einsum('bmn,bn->bm', A, x0) + s0
+    l = u - 2 * s0
+    return P, q, A, l, u
+
+
+@pytest.mark.parametrize('mesh_shape', [(4, 2), (2, 4), (8, 1), (1, 8)])
+def test_dp_mp_solve_matches_reference(mesh_shape):
+    mesh = _mesh(mesh_shape, ('dp', 'mp'))
+    B = 2 * mesh_shape[0]
+    n = 10
+    m = 8 * mesh_shape[1] if mesh_shape[1] > 1 else 16
+    P, q, A, l, u = _random_batch(B, n, m, seed=7)
+
+    res = dp_mp_solve(
+        mesh, P, q, A, l, u, eps_abs=1e-7, eps_rel=1e-7, max_iter=20000, check_every=25
+    )
+    assert bool(res.converged.all()), f'not converged: {np.asarray(res.pri_res)}'
+
+    # row-consensus solution matches an unscaled single-process reference solve
+    for b in range(B):
+        ref = ReferenceSolver()
+        ref.setup(
+            sparse.csc_matrix(P[b]), q[b], sparse.csc_matrix(A[b]), l[b], u[b],
+            verbose=False, eps_abs=1e-7, eps_rel=1e-7, scaling=0, rho_is_vec=False,
+            adaptive_rho=False, max_iter=20000,
+        )
+        sol, info = ref.solve()
+        np.testing.assert_allclose(np.asarray(res.x)[b], sol.x, rtol=1e-3, atol=1e-4)
+
+
+def test_dp_sharded_batch_qp_solve():
+    """dp-shard the fused batched solver with NamedShardings (pure pjit
+    path, no shard_map): XLA partitions the vmapped ADMM across devices."""
+    from jax.sharding import NamedSharding, PartitionSpec as P_
+
+    mesh = _mesh((8,), ('dp',))
+    B, n, m = 16, 8, 12
+    P, q, A, l, u = _random_batch(B, n, m, seed=9)
+
+    from osqp_tpu.batch import batch_qp_solve, default_core_settings
+
+    dt = jnp.float64
+    s3 = NamedSharding(mesh, P_('dp', None, None))
+    s2 = NamedSharding(mesh, P_('dp', None))
+    s1 = NamedSharding(mesh, P_('dp'))
+    Pj = jax.device_put(jnp.asarray(P, dt), s3)
+    qj = jax.device_put(jnp.asarray(q, dt), s2)
+    Aj = jax.device_put(jnp.asarray(A, dt), s3)
+    lj = jax.device_put(jnp.asarray(l, dt), s2)
+    uj = jax.device_put(jnp.asarray(u, dt), s2)
+    rho = jax.device_put(jnp.full((B,), 0.1, dt), s1)
+
+    stg = default_core_settings(dt, eps_abs=1e-8, eps_rel=1e-8)
+    res = batch_qp_solve(Pj, qj, Aj, lj, uj, stg, rho)
+    assert bool((res.status == 1).all())
+
+    # agreement with the unsharded solve
+    res0 = batch_qp_solve(
+        jnp.asarray(P, dt), jnp.asarray(q, dt), jnp.asarray(A, dt),
+        jnp.asarray(l, dt), jnp.asarray(u, dt), stg, jnp.full((B,), 0.1, dt),
+    )
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(res0.x), rtol=1e-9, atol=1e-10)
+    assert np.array_equal(np.asarray(res.iters), np.asarray(res0.iters))
