@@ -471,21 +471,24 @@ class OSQP:
         derivs = self._derivative_cache.get('derivs')
         if derivs is None:
             raise ValueError('Call adjoint_derivative_compute first')
+        # derivs['dP'] is the gradient w.r.t. the FULL symmetric matrix
+        # (each entry treated independently).
         dP, dA = derivs['dP'], derivs['dA']  # dense (n,n) sym and (m,n)
         P, A = self._derivative_cache['P'], self._derivative_cache['A']
         if dP_as_triu:
-            dP_out = spa.csc_matrix(np.triu(dP + dP.T - np.diag(np.diag(dP))))
-            # restrict to P's sparsity
-            P_triu = spa.triu(P, format='csc')
-            dP_out = spa.csc_matrix(
-                (np.asarray(dP_out[P_triu.nonzero()]).ravel(), P_triu.nonzero()), shape=P.shape
-            )
+            # gradient w.r.t. the triu parameterization (P[j,i] tied to
+            # P[i,j]): off-diagonal sensitivities add up
+            dP_triu_dense = np.triu(dP + dP.T) - np.diag(np.diag(dP))
+            P_triu = spa.triu(P, format='csc').tocoo()
+            vals = dP_triu_dense[P_triu.row, P_triu.col]
+            dP_out = spa.csc_matrix((vals, (P_triu.row, P_triu.col)), shape=P.shape)
+            dP_dense = dP_triu_dense
         else:
-            dP_full = dP + dP.T - np.diag(np.diag(dP))
-            dP_out = spa.csc_matrix(dP_full)
+            dP_out = spa.csc_matrix(dP)
+            dP_dense = dP
         dA_out = spa.csc_matrix(dA)
         if as_dense:
-            return np.asarray(dP_out.todense()), np.asarray(dA_out.todense())
+            return dP_dense, np.asarray(dA)
         return dP_out, dA_out
 
     def adjoint_derivative_get_vec(self):

@@ -44,8 +44,12 @@ def _adjoint_system(P, A, l, u, x, y, dx, dy, delta, refine_iters):
     m = A.shape[0]
     dtype = x.dtype
 
-    low = y < 0
-    upp = y > 0
+    # Active-set guess via slack-vs-multiplier comparison (same rule as
+    # polish, ref _osqp.py:1719-1720): robust to |y| ~ solver-tolerance noise
+    # on inactive rows, unlike a bare sign test.
+    z = A @ x if m else jnp.zeros((0,), dtype)
+    low = (z - l) < -y
+    upp = (u - z) < y
     active = (low | upp).astype(dtype)
     A_act = active[:, None] * A
     dy_act = active * dy

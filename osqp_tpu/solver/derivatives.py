@@ -47,10 +47,12 @@ def adjoint_derivative(P, q, A, l, u, x, y, dx, dy, delta=1e-8, refine_iters=8):
 
     if m:
         z = A @ x
-        low = y < 0
-        upp = y > 0
-        # weakly-active tight constraints with y == 0 are excluded (gradient
-        # is correct almost everywhere, matching the reference's behavior)
+        # Active-set guess via slack-vs-multiplier comparison (same rule as
+        # polish, ref _osqp.py:1719-1720): robust to |y| ~ solver-tolerance
+        # noise on inactive rows.  Weakly-active ties are excluded (gradient
+        # correct almost everywhere, matching the reference's behavior).
+        low = (z - l) < -y
+        upp = (u - z) < y
         active = low | upp
         idx = np.where(active)[0]
     else:

@@ -28,7 +28,8 @@ from osqp_tpu import algebra_available  # noqa: E402
 
 
 def pytest_generate_tests(metafunc):
-    if 'algebra' not in metafunc.fixturenames:
+    needed = {'algebra', 'solver_type', 'atol', 'rtol', 'decimal_tol'}
+    if not needed.issubset(metafunc.fixturenames):
         return
 
     include = os.environ.get(

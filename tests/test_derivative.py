@@ -1,0 +1,151 @@
+"""Adjoint derivative API (coverage model: reference
+src/osqp/tests/derivative_test.py - validation against
+scipy.optimize.approx_fprime finite differences of the loss
+0.5*||x_hat - x_true||^2)."""
+
+import numpy as np
+import numpy.random as npr
+import numpy.testing as npt
+import pytest
+from scipy import sparse
+from scipy.optimize import approx_fprime
+
+import osqp_tpu as osqp
+
+grad_precision = 1e-6
+rel_tol = 5e-3
+abs_tol = 5e-3
+
+eps_abs = 1e-9
+eps_rel = 1e-9
+max_iter = 500000
+
+
+def get_prob(n=10, m=3):
+    L = np.random.randn(n, n - 1)
+    P = sparse.csc_matrix(L.dot(L.T) + 0.1 * sparse.eye(n))
+    x_0 = npr.randn(n)
+    s_0 = npr.rand(m)
+    A = sparse.csc_matrix(npr.randn(m, n))
+    u = A.dot(x_0) + s_0
+    l = A.dot(x_0) - s_0
+    q = npr.randn(n)
+    true_x = npr.randn(n)
+    return P, q, A, l, u, true_x
+
+
+def get_grads(algebra, P, q, A, l, u, true_x):
+    model = osqp.OSQP(algebra=algebra)
+    model.setup(P, q, A, l, u, eps_abs=eps_abs, eps_rel=eps_rel, max_iter=max_iter, verbose=False)
+    results = model.solve()
+    assert results.info.status_val == int(osqp.SolverStatus.OSQP_SOLVED)
+    model.adjoint_derivative_compute(dx=results.x - true_x)
+    dP, dA = model.adjoint_derivative_get_mat(as_dense=True, dP_as_triu=False)
+    dq, dl, du = model.adjoint_derivative_get_vec()
+    return dP, dq, dA, dl, du, model, results
+
+
+def solve_x(algebra, P, q, A, l, u):
+    model = osqp.OSQP(algebra=algebra)
+    model.setup(P, q, A, l, u, eps_abs=eps_abs, eps_rel=eps_rel, max_iter=max_iter, verbose=False)
+    return model.solve().x
+
+
+@pytest.mark.parametrize('algebra', ['numpy', 'jax'])
+def test_dl_dq(algebra):
+    npr.seed(1)
+    n, m = 8, 5
+    P, q, A, l, u, true_x = get_prob(n=n, m=m)
+    dP, dq, dA, dl, du, _, _ = get_grads(algebra, P, q, A, l, u, true_x)
+
+    def f(qv):
+        x = solve_x(algebra, P, qv, A, l, u)
+        return 0.5 * np.sum((x - true_x) ** 2)
+
+    dq_fd = approx_fprime(q, f, grad_precision)
+    npt.assert_allclose(dq, dq_fd, rtol=rel_tol, atol=abs_tol)
+
+
+@pytest.mark.parametrize('algebra', ['numpy', 'jax'])
+def test_dl_dbounds(algebra):
+    npr.seed(2)
+    n, m = 8, 5
+    P, q, A, l, u, true_x = get_prob(n=n, m=m)
+    dP, dq, dA, dl, du, _, _ = get_grads(algebra, P, q, A, l, u, true_x)
+
+    def f_l(lv):
+        x = solve_x(algebra, P, q, A, lv, u)
+        return 0.5 * np.sum((x - true_x) ** 2)
+
+    def f_u(uv):
+        x = solve_x(algebra, P, q, A, l, uv)
+        return 0.5 * np.sum((x - true_x) ** 2)
+
+    npt.assert_allclose(dl, approx_fprime(l, f_l, grad_precision), rtol=rel_tol, atol=abs_tol)
+    npt.assert_allclose(du, approx_fprime(u, f_u, grad_precision), rtol=rel_tol, atol=abs_tol)
+
+
+@pytest.mark.parametrize('algebra', ['numpy'])
+def test_dl_dP_dA(algebra):
+    npr.seed(3)
+    n, m = 6, 4
+    P, q, A, l, u, true_x = get_prob(n=n, m=m)
+    dP, dq, dA, dl, du, _, _ = get_grads(algebra, P, q, A, l, u, true_x)
+
+    Pd = P.toarray()
+    for (i, j) in [(0, 0), (1, 3), (2, 2)]:
+        eps = grad_precision
+        Pp = Pd.copy()
+        Pp[i, j] += eps
+        Pp[j, i] = Pp[i, j]
+        Pm = Pd.copy()
+        Pm[i, j] -= eps
+        Pm[j, i] = Pm[i, j]
+        fp = 0.5 * np.sum((solve_x(algebra, sparse.csc_matrix(Pp), q, A, l, u) - true_x) ** 2)
+        fm = 0.5 * np.sum((solve_x(algebra, sparse.csc_matrix(Pm), q, A, l, u) - true_x) ** 2)
+        fd = (fp - fm) / (2 * eps)
+        an = dP[i, j] + dP[j, i] if i != j else dP[i, j]
+        npt.assert_allclose(an, fd, rtol=1e-2, atol=1e-3)
+
+    Ad = A.toarray()
+    for (i, j) in [(0, 0), (2, 4)]:
+        eps = grad_precision
+        Ap = Ad.copy()
+        Ap[i, j] += eps
+        Am = Ad.copy()
+        Am[i, j] -= eps
+        fp = 0.5 * np.sum((solve_x(algebra, P, q, sparse.csc_matrix(Ap), l, u) - true_x) ** 2)
+        fm = 0.5 * np.sum((solve_x(algebra, P, q, sparse.csc_matrix(Am), l, u) - true_x) ** 2)
+        fd = (fp - fm) / (2 * eps)
+        npt.assert_allclose(dA[i, j], fd, rtol=1e-2, atol=1e-3)
+
+
+def test_derivative_requires_solve():
+    npr.seed(4)
+    P, q, A, l, u, true_x = get_prob()
+    model = osqp.OSQP(algebra='numpy')
+    model.setup(P, q, A, l, u, verbose=False)
+    with pytest.raises(ValueError):
+        model.adjoint_derivative_compute(dx=np.zeros(P.shape[0]))
+
+
+def test_derivative_dy_seed():
+    """Loss including the dual solution: 0.5||x-xt||^2 + 0.5||y-yt||^2."""
+    npr.seed(5)
+    n, m = 8, 5
+    P, q, A, l, u, true_x = get_prob(n=n, m=m)
+    true_y = npr.randn(m)
+
+    model = osqp.OSQP(algebra='numpy')
+    model.setup(P, q, A, l, u, eps_abs=eps_abs, eps_rel=eps_rel, max_iter=max_iter, verbose=False)
+    res = model.solve()
+    model.adjoint_derivative_compute(dx=res.x - true_x, dy=res.y - true_y)
+    dq, dl, du = model.adjoint_derivative_get_vec()
+
+    def f(qv):
+        model = osqp.OSQP(algebra='numpy')
+        model.setup(P, qv, A, l, u, eps_abs=eps_abs, eps_rel=eps_rel, max_iter=max_iter, verbose=False)
+        r = model.solve()
+        return 0.5 * np.sum((r.x - true_x) ** 2) + 0.5 * np.sum((r.y - true_y) ** 2)
+
+    npt.assert_allclose(dq, approx_fprime(q, f, grad_precision), rtol=rel_tol, atol=abs_tol)
