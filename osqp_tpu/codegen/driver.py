@@ -1,0 +1,270 @@
+"""Embedded code-generation driver.
+
+Reference behavior being reproduced (reference src/osqp/interface.py:449-517):
+``OSQP.codegen(folder, parameters='vectors'|'matrices', extension_name=...,
+prefix=..., compile=...)`` emits a self-contained C project with the problem
+data and factorization baked into a statically-allocated workspace, renders a
+Python extension wrapper, and optionally compiles it in place.
+
+Two artifacts are produced here:
+
+1. Plain-C embedded solver (``{prefix}workspace.c/h``,
+   ``{prefix}emosqp_solver.c`` + CMakeLists) - deployable on hosts/MCUs with
+   no Python or JAX.
+2. CPython extension wrapper (``{extension_name}_module.c`` + setup.py) with
+   the reference module surface: solve / update_data_vec / update_data_mat.
+
+Additionally, :func:`export_aot` offers the TPU-native "codegen" analogue:
+an ahead-of-time compiled XLA executable of the fixed-shape solver.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import scipy.sparse as sp
+
+from . import ctemplates
+
+
+def _adaptive_interval(stg):
+    from ..constants import ADAPTIVE_RHO_FIXED
+
+    interval = int(stg.adaptive_rho_interval) or ADAPTIVE_RHO_FIXED
+    ct = max(int(stg.check_termination), 1)
+    # align to check boundaries like the host solvers (epoch semantics)
+    return -(-interval // ct) * ct
+
+
+def _constr_types(ws):
+    import numpy as np
+
+    from ..constants import MIN_SCALING, OSQP_INFTY, RHO_TOL
+
+    l, u = ws['l'], ws['u']
+    loose = (l < -OSQP_INFTY * MIN_SCALING) & (u > OSQP_INFTY * MIN_SCALING)
+    eq = (~loose) & (u - l < RHO_TOL)
+    t = np.zeros(max(ws['m'], 1), dtype=np.int8)
+    t[: ws['m']][loose] = -1
+    t[: ws['m']][eq] = 1
+    return t
+
+
+def _carray(name, arr, ctype, const=False):
+    arr = np.atleast_1d(np.asarray(arr)).ravel()
+    if arr.size == 0:
+        return f'{ctype} {name}[1] = {{0}};'
+    vals = ', '.join(f'{v:.17g}' if ctype != 'int' else str(int(v)) for v in arr)
+    return f'{ctype} {name}[{arr.size}] = {{{vals}}};'
+
+
+def export_workspace(solver):
+    """Extract the scaled workspace from a backend solver handle as numpy."""
+    # numpy backend (ReferenceSolver)
+    if hasattr(solver, '_ws') and isinstance(getattr(solver, '_ws', None), dict):
+        ws = solver._ws
+        stg = ws['settings']
+        return dict(
+            n=ws['n'],
+            m=ws['m'],
+            P=ws['P'].toarray(),
+            A=ws['A'].toarray() if ws['m'] else np.zeros((0, ws['n'])),
+            q=np.asarray(ws['q']),
+            l=np.asarray(ws['l']),
+            u=np.asarray(ws['u']),
+            D=np.asarray(ws['D']),
+            E=np.asarray(ws['E']),
+            c=float(ws['c']),
+            rho_vec=np.asarray(ws['rho_vec']),
+            settings=stg,
+            P_triu=sp.triu(sp.csc_matrix(ws['P_orig']), format='csc'),
+            A_pattern=sp.csc_matrix(ws['A_orig']),
+        )
+    # jax backend
+    stg = solver._stg
+    return dict(
+        n=solver.n,
+        m=solver.m,
+        P=np.asarray(solver._data.P, np.float64),
+        A=np.asarray(solver._data.A, np.float64),
+        q=np.asarray(solver._data.q, np.float64),
+        l=np.asarray(solver._data.l, np.float64),
+        u=np.asarray(solver._data.u, np.float64),
+        D=np.asarray(solver._scal.D, np.float64),
+        E=np.asarray(solver._scal.E, np.float64),
+        c=float(solver._scal.c),
+        rho_vec=np.asarray(solver._rho.rho_vec, np.float64),
+        settings=stg,
+        P_triu=sp.triu(solver._P_orig, format='csc'),
+        A_pattern=solver._A_orig.copy(),
+    )
+
+
+def generate(model, folder, parameters='vectors', extension_name='emosqp',
+             force_rewrite=False, use_float=False, prefix='', compile=False):
+    ws = export_workspace(model._solver)
+    mode = 1 if parameters == 'vectors' else 2
+    n, m = ws['n'], ws['m']
+    stg = ws['settings']
+
+    # Bake the Cholesky factor of M = P + sigma I + A' diag(rho) A.
+    M = ws['P'] + stg.sigma * np.eye(n)
+    if m:
+        M = M + ws['A'].T @ (ws['rho_vec'][:, None] * ws['A'])
+    L = np.linalg.cholesky(M)
+
+    cfloat = 'float' if use_float else 'double'
+    npy_float = 'NPY_FLOAT32' if use_float else 'NPY_FLOAT64'
+
+    folder = os.path.abspath(folder)
+    os.makedirs(folder, exist_ok=force_rewrite or True)
+
+    # triu-CSC pattern in data order (row, col per data index)
+    P_triu = ws['P_triu'].tocsc()
+    P_rows = P_triu.indices
+    P_cols = np.repeat(np.arange(n), np.diff(P_triu.indptr))
+    A_csc = ws['A_pattern'].tocsc()
+    A_rows = A_csc.indices
+    A_cols = np.repeat(np.arange(n), np.diff(A_csc.indptr))
+
+    tokens = {
+        '@PREFIX@': prefix,
+        '@PREFIX_UPPER@': (prefix or 'OSQP_TPU_').upper(),
+        '@N@': str(n),
+        '@M@': str(m),
+        '@M_OR_1@': str(max(m, 1)),
+        '@MODE@': str(mode),
+        '@FLOAT@': cfloat,
+        '@NPY_FLOAT@': npy_float,
+        '@EXT_NAME@': extension_name or 'emosqp',
+        '@PROFILING@': '1',
+    }
+    if mode == 2:
+        tokens['@PATTERN_DECLS@'] = (
+            f'#define {prefix}P_nnz {len(P_rows)}\n'
+            f'#define {prefix}A_nnz {len(A_rows)}\n'
+            f'extern int {prefix}P_pat_row[];\n'
+            f'extern int {prefix}P_pat_col[];\n'
+            f'extern int {prefix}A_pat_row[];\n'
+            f'extern int {prefix}A_pat_col[];\n'
+        )
+    else:
+        tokens['@PATTERN_DECLS@'] = ''
+
+    def render(template):
+        out = template
+        for k, v in tokens.items():
+            out = out.replace(k, v)
+        return out
+
+    # workspace.c: baked data definitions
+    defs = [
+        f'#include "{prefix}workspace.h"',
+        '',
+        f'{prefix}Settings {prefix}settings = {{'
+        f'{stg.eps_abs:.17g}, {stg.eps_rel:.17g}, {stg.eps_prim_inf:.17g}, '
+        f'{stg.eps_dual_inf:.17g}, {stg.alpha:.17g}, {stg.sigma:.17g}, '
+        f'{stg.rho:.17g}, {int(stg.max_iter)}, '
+        f'{max(int(stg.check_termination), 1)}, {int(bool(stg.warm_starting))}, '
+        f'{int(bool(stg.adaptive_rho))}, {_adaptive_interval(stg)}}};',
+        f'{prefix}Workspace {prefix}work;',
+        _carray(f'{prefix}P', ws['P'], cfloat),
+        _carray(f'{prefix}A', ws['A'], cfloat),
+        _carray(f'{prefix}L', L, cfloat),
+        _carray(f'{prefix}q', ws['q'], cfloat),
+        _carray(f'{prefix}l', ws['l'], cfloat),
+        _carray(f'{prefix}u', ws['u'], cfloat),
+        _carray(f'{prefix}rho_vec', ws['rho_vec'], cfloat),
+        _carray(f'{prefix}rho_inv_vec', 1.0 / ws['rho_vec'] if m else np.zeros(0), cfloat),
+        _carray(f'{prefix}D', ws['D'], cfloat),
+        _carray(f'{prefix}Dinv', 1.0 / ws['D'], cfloat),
+        _carray(f'{prefix}E', ws['E'], cfloat),
+        _carray(f'{prefix}Einv', 1.0 / ws['E'] if m else np.zeros(0), cfloat),
+        f'{cfloat} {prefix}c_scale = {ws["c"]:.17g};',
+        f'{cfloat} {prefix}cinv = {1.0 / ws["c"]:.17g};',
+        _carray(f'{prefix}sol_x', np.zeros(n), cfloat),
+        _carray(f'{prefix}sol_y', np.zeros(max(m, 1)), cfloat),
+        _carray(f'{prefix}constr_type', _constr_types(ws), 'signed char'),
+    ]
+    if mode == 2:
+        defs += [
+            _carray(f'{prefix}P_pat_row', P_rows, 'int'),
+            _carray(f'{prefix}P_pat_col', P_cols, 'int'),
+            _carray(f'{prefix}A_pat_row', A_rows, 'int'),
+            _carray(f'{prefix}A_pat_col', A_cols, 'int'),
+        ]
+
+    # fix up declared sizes in the header vs definitions: definitions use
+    # their own sizes, header declares unsized extern arrays for matrices.
+    files = {
+        f'{prefix}workspace.h': render(ctemplates.WORKSPACE_H),
+        f'{prefix}workspace.c': '\n'.join(defs) + '\n',
+        f'{prefix}emosqp_solver.c': render(ctemplates.SOLVER_C),
+        'CMakeLists.txt': render(ctemplates.CMAKELISTS),
+    }
+    if extension_name is not None:
+        files[f'{extension_name}_module.c'] = render(ctemplates.MODULE_C).replace(
+            "'(NNiid)'", '"(NNiid)"'
+        )
+        files['setup.py'] = render(ctemplates.SETUP_PY)
+
+    for name, content in files.items():
+        path = os.path.join(folder, name)
+        if os.path.exists(path) and not force_rewrite:
+            raise ValueError(f'{path} exists; pass force_rewrite=True')
+        with open(path, 'w') as f:
+            f.write(content)
+
+    if extension_name is not None and compile:
+        subprocess.check_call(
+            [sys.executable, 'setup.py', 'build_ext', '--inplace'],
+            cwd=folder,
+            stdout=subprocess.DEVNULL,
+        )
+
+    if not folder.endswith(os.path.sep):
+        folder += os.path.sep
+    return folder
+
+
+def export_aot(model, dtype=None):
+    """TPU-native codegen analogue: AOT-compile the fixed-shape solver.
+
+    Returns a ``jax.stages.Compiled`` executable of
+    ``solve(q, l, u) -> (x, y, status, iters)`` with the problem structure,
+    scaling and factorization baked in - the XLA equivalent of the embedded
+    workspace (reference codegen's compile-time checkpoint,
+    pywrapper/bindings.cpp.jinja:10).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..solver import core
+
+    solver = model._solver
+    dt = solver._dtype
+    data, scal = solver._data, solver._scal
+    rho, factor = solver._rho, solver._factor
+    settings = solver._core_settings()
+    indirect = solver._indirect
+    n, m = solver.n, solver.m
+
+    def solve(q, l, u):
+        d = data._replace(
+            q=scal.c * (scal.D * q.astype(dt)),
+            l=scal.E * l.astype(dt),
+            u=scal.E * u.astype(dt),
+        )
+        it = core.Iterates(
+            x=jnp.zeros((n,), dt), z=jnp.zeros((m,), dt), y=jnp.zeros((m,), dt)
+        )
+        res = core.solve_scaled_impl(d, scal, settings, rho, factor, it, indirect=indirect)
+        return res.x, res.y, res.status, res.iters
+
+    q0 = jnp.zeros((n,), dt)
+    l0 = jnp.zeros((m,), dt)
+    u0 = jnp.zeros((m,), dt)
+    return jax.jit(solve).lower(q0, l0, u0).compile()

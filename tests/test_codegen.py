@@ -1,0 +1,177 @@
+"""Embedded code generation (coverage model: reference
+src/osqp/tests/codegen_vectors_test.py and codegen_matrices_test.py):
+generate + compile the embedded C module, import it, and check solve/update
+answers to 4-5 decimals against the live solver."""
+
+import shutil
+import sys
+
+import numpy as np
+import numpy.testing as nptest
+import pytest
+from scipy import sparse
+
+import osqp_tpu as osqp
+
+
+@pytest.fixture(scope='module', params=['numpy', 'jax'])
+def vec_module(request, tmp_path_factory):
+    algebra = request.param
+    P = sparse.diags([11.0, 0.0], format='csc')
+    q = np.array([3.0, 4.0])
+    A = sparse.csc_matrix([[-1, 0], [0, -1], [-1, -3], [2, 5], [3, 4]], dtype=float)
+    u = np.array([0.0, 0.0, -15.0, 100.0, 80.0])
+    l = -np.inf * np.ones(len(u))
+    opts = {
+        'verbose': False,
+        'eps_abs': 1e-08,
+        'eps_rel': 1e-08,
+        'rho': 0.01,
+        'alpha': 1.6,
+        'max_iter': 10000,
+        'warm_starting': True,
+    }
+    model = osqp.OSQP(algebra=algebra)
+    model.setup(P=P, q=q, A=A, l=l, u=u, **opts)
+
+    folder = str(tmp_path_factory.mktemp(f'cg_vec_{algebra}'))
+    ext = f'vec_emosqp_{algebra}'
+    model_dir = model.codegen(
+        folder, extension_name=ext, force_rewrite=True, prefix='foo', compile=True
+    )
+    sys.path.insert(0, model_dir)
+    mod = __import__(ext)
+    yield mod, model, (P, q, A, l, u, opts)
+    sys.path.remove(model_dir)
+
+
+def test_codegen_vectors_solve(vec_module):
+    mod, model, _ = vec_module
+    x, y, status, niter, run_time = mod.solve()
+    nptest.assert_array_almost_equal(x, np.array([0.0, 5.0]), decimal=5)
+    nptest.assert_array_almost_equal(
+        y, np.array([1.66666667, 0.0, 1.33333333, 0.0, 0.0]), decimal=5
+    )
+    assert status == 1
+    assert niter > 0
+
+
+def test_codegen_vectors_update_q(vec_module):
+    mod, model, (P, q, A, l, u, opts) = vec_module
+    q_new = np.array([10.0, 20.0])
+    mod.update_data_vec(q=q_new)
+    x, y, *_ = mod.solve()
+    ref = osqp.OSQP(algebra=model.algebra)
+    ref.setup(P=P, q=q_new, A=A, l=l, u=u, **opts)
+    r = ref.solve()
+    nptest.assert_array_almost_equal(x, r.x, decimal=4)
+    mod.update_data_vec(q=q)  # restore
+
+
+def test_codegen_vectors_update_bounds(vec_module):
+    mod, model, (P, q, A, l, u, opts) = vec_module
+    l_new = -100.0 * np.ones(5)
+    u_new = 1000.0 * np.ones(5)
+    mod.update_data_vec(l=l_new, u=u_new)
+    x, y, *_ = mod.solve()
+    ref = osqp.OSQP(algebra=model.algebra)
+    ref.setup(P=P, q=q, A=A, l=l_new, u=u_new, **opts)
+    r = ref.solve()
+    nptest.assert_array_almost_equal(x, r.x, decimal=4)
+    mod.update_data_vec(l=l, u=u)  # restore
+
+
+def test_codegen_vectors_bad_bounds(vec_module):
+    mod, *_ = vec_module
+    with pytest.raises(ValueError):
+        mod.update_data_vec(l=np.ones(5), u=-np.ones(5))
+
+
+@pytest.fixture(scope='module')
+def mat_module(tmp_path_factory):
+    P = sparse.diags([11.0, 0.1], format='csc')
+    q = np.array([3.0, 4.0])
+    A = sparse.csc_matrix([[-1, 0], [0, -1], [-1, -3], [2, 5], [3, 4]], dtype=float)
+    u = np.array([0.0, 0.0, -15.0, 100.0, 80.0])
+    l = -np.inf * np.ones(len(u))
+    opts = {
+        'verbose': False,
+        'eps_abs': 1e-08,
+        'eps_rel': 1e-08,
+        'alpha': 1.6,
+        'max_iter': 3000,
+        'warm_starting': True,
+    }
+    model = osqp.OSQP(algebra='numpy')
+    model.setup(P=P, q=q, A=A, l=l, u=u, **opts)
+    folder = str(tmp_path_factory.mktemp('cg_mat'))
+    model_dir = model.codegen(
+        folder,
+        parameters='matrices',
+        extension_name='mat_emosqp_t',
+        force_rewrite=True,
+        prefix='bar',
+        compile=True,
+    )
+    sys.path.insert(0, model_dir)
+    mod = __import__('mat_emosqp_t')
+    yield mod, model, (P, q, A, l, u, opts)
+    sys.path.remove(model_dir)
+
+
+def test_codegen_matrices_solve(mat_module):
+    mod, model, _ = mat_module
+    x, y, status, niter, run_time = mod.solve()
+    r = model.solve()
+    nptest.assert_array_almost_equal(x, r.x, decimal=4)
+    nptest.assert_array_almost_equal(y, r.y, decimal=4)
+
+
+def test_codegen_matrices_update_P(mat_module):
+    mod, model, (P, q, A, l, u, opts) = mat_module
+    P_new = sparse.eye(2, format='csc')
+    Px = sparse.triu(P_new).tocsc().data
+    mod.update_data_mat(P_x=Px, P_i=np.arange(len(Px), dtype=np.int32))
+    x, *_ = mod.solve()
+    ref = osqp.OSQP(algebra='numpy')
+    ref.setup(P=P_new, q=q, A=A, l=l, u=u, **opts)
+    r = ref.solve()
+    nptest.assert_array_almost_equal(x, r.x, decimal=4)
+    # restore
+    P0x = sparse.triu(P).tocsc().data
+    mod.update_data_mat(P_x=P0x)
+
+
+def test_codegen_matrices_update_A(mat_module):
+    mod, model, (P, q, A, l, u, opts) = mat_module
+    A_new = sparse.csc_matrix(
+        [[-1, 0], [0, -1], [-2, -2], [2, 5], [3, 4]], dtype=float
+    )
+    mod.update_data_mat(A_x=A_new.data)
+    x, *_ = mod.solve()
+    ref = osqp.OSQP(algebra='numpy')
+    ref.setup(P=P, q=q, A=A_new, l=l, u=u, **opts)
+    r = ref.solve()
+    nptest.assert_array_almost_equal(x, r.x, decimal=4)
+    mod.update_data_mat(A_x=A.tocsc().data)
+
+
+def test_codegen_aot_export():
+    """TPU-native AOT 'codegen': compiled fixed-shape executable."""
+    import jax.numpy as jnp
+
+    from osqp_tpu.codegen.driver import export_aot
+
+    P = sparse.diags([11.0, 0.0], format='csc')
+    q = np.array([3.0, 4.0])
+    A = sparse.csc_matrix([[-1, 0], [0, -1], [-1, -3], [2, 5], [3, 4]], dtype=float)
+    u = np.array([0.0, 0.0, -15.0, 100.0, 80.0])
+    l = -1e6 * np.ones(len(u))
+    model = osqp.OSQP(algebra='jax')
+    model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False, eps_abs=1e-8, eps_rel=1e-8)
+    compiled = export_aot(model)
+    x, y, status, iters = compiled(
+        jnp.asarray(q, jnp.float64), jnp.asarray(l, jnp.float64), jnp.asarray(u, jnp.float64)
+    )
+    nptest.assert_array_almost_equal(np.asarray(x), [0.0, 5.0], decimal=5)
+    assert int(status) == 1
