@@ -145,6 +145,7 @@ class Solver:
             cg_max_iter=jnp.int32(stg.cg_max_iter),
             cg_tol_fraction=f(stg.cg_tol_fraction),
             cg_eps_min=f(cg_eps_min),
+            iter_cap=jnp.int32(stg.max_iter),
         )
 
     def _check_convexity(self):
@@ -245,17 +246,55 @@ class Solver:
                 y=jnp.zeros((self.m,), dt),
             )
 
-        res = core.solve_scaled(
-            self._data,
-            self._scal,
-            self._core_settings(),
-            self._rho,
-            self._factor,
-            self._iterates,
-            indirect=self._indirect,
-            verbose=bool(stg.verbose),
-        )
-        res = jax.tree.map(lambda a: a, res)  # keep on device; pull scalars below
+        if stg.verbose:
+            from ..utils.printing import print_iter_header, print_setup_header
+
+            nnz = self._P_orig.nnz + self._A_orig.nnz
+            print_setup_header(self.n, self.m, nnz, stg, 'jax', 
+                               'indirect' if self._indirect else 'direct', '1.0.0.dev0')
+            print_iter_header()
+
+        time_limit = float(stg.time_limit or 0.0)
+        if time_limit <= 0.0:
+            res = core.solve_scaled(
+                self._data,
+                self._scal,
+                self._core_settings(),
+                self._rho,
+                self._factor,
+                self._iterates,
+                indirect=self._indirect,
+                verbose=bool(stg.verbose),
+            )
+        else:
+            # Chunked continuation: run epochs of iterations, checking the
+            # wall clock between chunks (TIME_LIMIT_REACHED semantics of the
+            # reference's time_limit setting, bindings.cpp.in:440).
+            ct = max(int(stg.check_termination), 1)
+            chunk = max(10 * ct, 100)
+            chunk -= chunk % ct
+            it0 = 0
+            max_iter = int(stg.max_iter)
+            iterates = self._iterates
+            rho, factor = self._rho, self._factor
+            while True:
+                cs = self._core_settings()._replace(
+                    iter_cap=jnp.int32(min(it0 + chunk, max_iter))
+                )
+                res = core.solve_scaled(
+                    self._data, self._scal, cs, rho, factor, iterates,
+                    indirect=self._indirect, verbose=bool(stg.verbose),
+                    it0=jnp.int32(it0),
+                )
+                it0 = int(res.iters)
+                iterates, rho, factor = res.iterates, res.rho, res.factor
+                if int(res.status) != int(SolverStatus.OSQP_UNSOLVED) or it0 >= max_iter:
+                    break
+                if time.perf_counter() - t0 > time_limit:
+                    res = res._replace(
+                        status=jnp.int32(int(SolverStatus.OSQP_TIME_LIMIT_REACHED))
+                    )
+                    break
 
         status = int(res.status)
         self._iterates = res.iterates
@@ -313,6 +352,11 @@ class Solver:
             info.run_time = info.update_time + info.solve_time + info.polish_time
         self._first_run = False
         self._clear_update_time = True
+
+        if stg.verbose:
+            from ..utils.printing import print_footer
+
+            print_footer(info, stg.polishing)
 
         sol = self._solution
         sol.x = x_out

@@ -110,6 +110,8 @@ class Settings(NamedTuple):
     cg_max_iter: jax.Array  # int32
     cg_tol_fraction: jax.Array
     cg_eps_min: jax.Array  # dtype-dependent CG floor
+    iter_cap: jax.Array  # int32: iterations allowed THIS call (chunked
+    # solving for time_limit support); == max_iter for a full solve
 
 
 class RhoState(NamedTuple):
@@ -671,6 +673,7 @@ def solve_scaled_impl(
     iterates: Iterates,
     indirect: bool = False,
     verbose: bool = False,
+    it0=None,
 ) -> SolveResult:
     """Run the full ADMM fixed-point loop on already-scaled data.
 
@@ -682,7 +685,7 @@ def solve_scaled_impl(
     dtype = data.P.dtype
 
     st = LoopState(
-        it=jnp.int32(0),
+        it=jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32),
         status=jnp.int32(_UNSOLVED),
         x=iterates.x,
         z=iterates.z,
@@ -710,16 +713,16 @@ def solve_scaled_impl(
     # select-of-both-branches, so keeping the O(n^3) refactorization out of
     # the per-iteration body is essential for the batched north-star workload.
     ct = settings.check_termination
-    epoch_len = jnp.where(ct > 0, ct, settings.max_iter).astype(jnp.int32)
+    epoch_len = jnp.where(ct > 0, ct, settings.iter_cap).astype(jnp.int32)
     interval = settings.adaptive_rho_interval
     # adaptive interval in whole epochs (rounded up)
     epochs_per_adapt = jnp.maximum((interval + epoch_len - 1) // jnp.maximum(epoch_len, 1), 1)
 
     def cond(st: LoopState):
-        return (st.it < settings.max_iter) & (st.status == _UNSOLVED)
+        return (st.it < settings.iter_cap) & (st.status == _UNSOLVED)
 
     def body(st: LoopState):
-        this_epoch = jnp.minimum(epoch_len, settings.max_iter - st.it)
+        this_epoch = jnp.minimum(epoch_len, settings.iter_cap - st.it)
 
         def inner(_, s):
             return admm_iteration(data, settings, s, indirect)
@@ -788,7 +791,12 @@ def solve_scaled_impl(
                 obj, st.obj_val))
         return lax.cond(st.status == _UNSOLVED, approx, lambda s: s, st)
 
-    st = lax.cond(st.status == _UNSOLVED, finish_unsolved, lambda s: s, st)
+    st = lax.cond(
+        (st.status == _UNSOLVED) & (st.it >= settings.max_iter),
+        finish_unsolved,
+        lambda s: s,
+        st,
+    )
 
     rho_est = rho_estimate_fn(data, st.x, st.z, st.y, st.rho.rho)
 
@@ -931,6 +939,7 @@ def polish(
         cg_max_iter=settings.cg_max_iter,
         cg_tol_fraction=settings.cg_tol_fraction,
         cg_eps_min=settings.cg_eps_min,
+        iter_cap=settings.iter_cap,
     )
     pri_pol, dua_pol, obj_pol, _, _, _ = compute_info(data, scal, x_pol, z_pol, y_pol, sub)
 
