@@ -179,8 +179,8 @@ class Solver:
             self._dtype = _default_dtype()
         dt = self._dtype
 
-        P = sp.csc_matrix(P)
-        A = sp.csc_matrix(A)
+        P = sp.csc_matrix(P).astype(np.float64)
+        A = sp.csc_matrix(A).astype(np.float64)
         n, m = P.shape[0], A.shape[0]
         q = np.asarray(q, np.float64).ravel()
         l = np.full(m, -OSQP_INFTY) if l is None else np.asarray(l, np.float64).ravel()
