@@ -1,8 +1,12 @@
 """Headline benchmark: batched MPC QP throughput (solves/sec/chip).
 
 North-star workload from BASELINE.json: thousands of same-structure QPs per
-chip via the fused vmapped ADMM solver, MPC-style (setup once, then
-update-q + warm re-solve every step).
+chip, MPC-style (setup once, then update-q + warm re-solve every step).
+Problem family: shared plant (same P, A across the batch - the canonical
+condensed-MPC scenario), per-instance costs and bounds.
+
+Engine: the shared-structure batched solver (osqp_tpu.batch_shared) - every
+per-iteration op is a single dense MXU matmul over the whole batch.
 
 Baseline: the float64 scipy reference core (osqp_tpu._oracle, the stand-in
 for the OSQP-C builtin backend loop - same algorithm, same tolerances)
@@ -19,6 +23,7 @@ import numpy as np
 
 
 def build_problems(B, n, m, seed=0):
+    """Per-instance problems (used by tests/other benches)."""
     rng = np.random.default_rng(seed)
     L = rng.standard_normal((B, n, n)) / np.sqrt(n)
     P = np.einsum('bij,bkj->bik', L, L) + 0.1 * np.eye(n)
@@ -31,43 +36,70 @@ def build_problems(B, n, m, seed=0):
     return P, q, A, l, u
 
 
+def build_shared_problems(B, n, m, seed=0):
+    """Shared P/A, per-instance q/l/u (condensed-MPC scenario batch)."""
+    rng = np.random.default_rng(seed)
+    L = rng.standard_normal((n, n)) / np.sqrt(n)
+    P = L @ L.T + 0.1 * np.eye(n)
+    A = rng.standard_normal((m, n)) / np.sqrt(n)
+    q = rng.standard_normal((B, n))
+    x0 = rng.standard_normal((B, n))
+    s0 = rng.random((B, m)) + 0.1
+    u = x0 @ A.T + s0
+    l = u - 2 * s0
+    return P, q, A, l, u
+
+
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     n, m = 32, 48
     steps = 20
-    opts = dict(eps_abs=1e-3, eps_rel=1e-3, max_iter=4000, verbose=False)
+    eps = 1e-3
 
     import jax
     import jax.numpy as jnp
 
-    from osqp_tpu.batch import BatchedOSQP
+    from osqp_tpu._oracle.solver import OracleSettings
+    from osqp_tpu.batch import default_core_settings
+    from osqp_tpu.batch_shared import shared_mpc_rollout, shared_setup
 
-    P, q, A, l, u = build_problems(B, n, m)
+    P, q, A, l, u = build_shared_problems(B, n, m)
 
-    solver = BatchedOSQP(dtype=jnp.float32)
-    solver.setup(P, q, A, l, u, **opts)
-    res = solver.solve()  # compile + first (cold) solve
-    n_solved = int((res.info.status_val == 1).sum())
-
-    # device-resident MPC rollout: S fused (update-q -> warm re-solve) steps
-    # in ONE dispatch (lax.scan) - the production serving pattern
-    from osqp_tpu.batch import mpc_rollout
+    f32 = jnp.float32
+    host = OracleSettings(eps_abs=eps, eps_rel=eps)
+    stg = default_core_settings(f32, eps_abs=eps, eps_rel=eps)
+    t0 = time.perf_counter()
+    P_s, A_s, Q, L_t, U_t, scal_t, rho0, Minv, M, rho_vec = shared_setup(
+        P, A, q, l, u, host, dtype=f32
+    )
+    setup_time = time.perf_counter() - t0
 
     rng = np.random.default_rng(1)
     q_seq = jnp.asarray(
-        q[None] + 0.01 * rng.standard_normal((steps, B, n)), jnp.float32
+        (q[None] + 0.01 * rng.standard_normal((steps, B, n))).transpose(0, 2, 1), f32
     )
-    stg = solver._core_settings()
-    args = (solver._data, solver._scal, stg, solver._rho, solver._factor, solver._iterates)
-    carry, (xs, iters, statuses) = mpc_rollout(*args, q_seq)  # compile + warmup
+
+    def rollout():
+        return shared_mpc_rollout(
+            P_s, A_s, Q, L_t, U_t, scal_t, stg, rho0, Minv, M, rho_vec, q_seq
+        )
+
+    carry, (xs, iters, statuses) = rollout()  # compile + warmup
+    jax.block_until_ready(xs)
+    carry, (xs, iters, statuses) = rollout()
     jax.block_until_ready(xs)
 
+    reps = 3
     t0 = time.perf_counter()
-    carry, (xs, iters, statuses) = mpc_rollout(*args, q_seq)
+    for _ in range(reps):
+        carry, (xs, iters, statuses) = rollout()
     jax.block_until_ready(xs)
-    elapsed = time.perf_counter() - t0
+    jax.block_until_ready(jnp.zeros(1) + 1)  # flush lazy-completion backends
+    elapsed = (time.perf_counter() - t0) / reps
     throughput = B * steps / elapsed
-    total_iters = int(np.asarray(iters).sum())
+    statuses_np = np.asarray(statuses)
+    iters_np = np.asarray(iters)
+    solved_frac = float((statuses_np == 1).mean())
 
     # CPU reference-core baseline on a subsample (same algorithm/tolerances)
     import scipy.sparse as sp
@@ -75,17 +107,19 @@ def main():
     from osqp_tpu._oracle.solver import ReferenceSolver
 
     B_ref = min(16, B)
+    opts = dict(eps_abs=eps, eps_rel=eps, max_iter=4000, verbose=False)
     solvers = []
+    P_csc, A_csc = sp.csc_matrix(P), sp.csc_matrix(A)
     for b in range(B_ref):
         s = ReferenceSolver()
-        s.setup(sp.csc_matrix(P[b]), q[b], sp.csc_matrix(A[b]), l[b], u[b], **opts)
+        s.setup(P_csc, q[b], A_csc, l[b], u[b], **opts)
         s.solve()
         solvers.append(s)
+    qs_host = np.asarray(q_seq).transpose(0, 2, 1)
     t0 = time.perf_counter()
     for k in range(steps):
-        qk = q + 0.01 * rng.standard_normal((B, n))
         for b, s in enumerate(solvers):
-            s.update_data_vec(q=qk[b])
+            s.update_data_vec(q=qs_host[k, b % B_ref])
             s.solve()
     ref_elapsed = time.perf_counter() - t0
     ref_throughput = B_ref * steps / ref_elapsed
@@ -102,11 +136,11 @@ def main():
                     'n': n,
                     'm': m,
                     'mpc_steps': steps,
-                    'solved_frac_cold': n_solved / B,
-                    'mean_iters_warm': total_iters / (B * steps),
-                    'device': str(
-                        solver._device if solver._device is not None else jax.devices()[0]
-                    ),
+                    'solved_frac': solved_frac,
+                    'mean_iters_warm': float(iters_np.mean()),
+                    'setup_time_s': round(setup_time, 3),
+                    'device': str(jax.devices()[0]),
+                    'engine': 'shared-structure batched ADMM (MXU matmuls)',
                     'baseline': 'float64 reference core (scipy splu), sequential CPU',
                     'baseline_solves_per_s': round(ref_throughput, 2),
                 },

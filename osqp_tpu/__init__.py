@@ -14,6 +14,18 @@ API parity target: the reference ``osqp`` package
 (reference: /root/reference/src/osqp/__init__.py:1-13).
 """
 
+import os as _os
+
+import jax as _jax
+
+# On TPU, float32 matmuls default to bfloat16 MXU passes - a ~1e-3 relative
+# error that stalls ADMM far above solver tolerances.  A QP solver needs true
+# f32 linear algebra; opt out with OSQP_TPU_MATMUL_PRECISION=default if you
+# know what you are doing.
+_prec = _os.environ.get('OSQP_TPU_MATMUL_PRECISION', 'highest')
+if _prec != 'default':
+    _jax.config.update('jax_default_matmul_precision', _prec)
+
 from .algebra import (  # noqa: F401
     algebra_available,
     algebras_available,

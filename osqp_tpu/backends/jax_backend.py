@@ -108,9 +108,11 @@ def _on_device(fn):
 class Solver:
     """Single-QP solver handle (host state + jitted device computations)."""
 
-    def __init__(self, dtype=None, device=None):
+    def __init__(self, dtype=None, device=None, sparse='auto'):
         self._dtype = dtype
         self._device = device if device is not None else _resolve_device()
+        self._sparse_opt = sparse
+        self._is_sparse = False
         self._ws = None
 
     # -- helpers -----------------------------------------------------------
@@ -163,7 +165,7 @@ class Solver:
         if self._indirect:
             diag = core.build_M_diag(self._data.P, self._data.A, self._stg.sigma, self._rho.rho_vec)
             L = jnp.zeros((0, 0), self._dtype)
-            self._factor = core.Factor(L=L, diag=diag)
+            self._factor = core.Factor(L=L, diag=diag, Minv=jnp.zeros((0, 0), self._dtype))
         else:
             self._factor = core.factorize(
                 self._data.P, self._data.A, jnp.asarray(self._stg.sigma, self._dtype), self._rho.rho_vec
@@ -201,19 +203,71 @@ class Solver:
         self._l_orig = l.copy()
         self._u_orig = u.copy()
 
-        Pj = jnp.asarray(P_full.toarray(), dt)
-        Aj = jnp.asarray(A.toarray() if m else np.zeros((m, n)), dt)
-        qj = jnp.asarray(q, dt)
-        lj = jnp.asarray(l, dt)
-        uj = jnp.asarray(u, dt)
+        # Sparse mode: for large problems keep P/A as BCOO operators and run
+        # the indirect (PCG) solver - the dense Schur factorization would not
+        # fit.  Heuristic mirrors the reference's guidance that large single
+        # QPs use solver_type='indirect' (reference interface.py:254-260).
+        import os as _os
 
-        if int(self._stg.scaling) > 0:
-            self._data, self._scal = core.jit_ruiz(Pj, qj, Aj, lj, uj, int(self._stg.scaling))
+        dense_entries = n * n + m * n
+        self._is_sparse = (
+            self._sparse_opt is True
+            or _os.environ.get('OSQP_TPU_SPARSE') == '1'
+            or (self._sparse_opt == 'auto' and dense_entries > 25_000_000)
+        )
+        if self._is_sparse:
+            if not self._indirect:
+                # dense factorization of a huge QP is not available; the
+                # sparse path is CG-only
+                self._stg.linsys_solver = int(LinsysSolverType.OSQP_INDIRECT_SOLVER)
+            from jax.experimental import sparse as jsparse
+
+            from ..utils.scaling_host import ruiz_scale_scipy
+
+            if int(self._stg.scaling) > 0:
+                P_s, A_s, q_s, l_s, u_s, D, E, c = ruiz_scale_scipy(
+                    P_full, A, q, l, u, int(self._stg.scaling)
+                )
+            else:
+                P_s, A_s, q_s, l_s, u_s = P_full, A, q, l, u
+                D, E, c = np.ones(n), np.ones(m), 1.0
+
+            def to_bcoo(S):
+                S = S.tocoo()
+                return jsparse.BCOO(
+                    (jnp.asarray(S.data, dt), jnp.asarray(np.stack([S.row, S.col], 1))),
+                    shape=S.shape,
+                )
+
+            self._data = core.QPData(
+                P=to_bcoo(P_s),
+                q=jnp.asarray(q_s, dt),
+                A=to_bcoo(A_s),
+                l=jnp.asarray(l_s, dt),
+                u=jnp.asarray(u_s, dt),
+            )
+            self._scal = core.Scaling(
+                D=jnp.asarray(D, dt),
+                Dinv=jnp.asarray(1.0 / D, dt),
+                E=jnp.asarray(E, dt),
+                Einv=jnp.asarray(1.0 / E if m else E, dt),
+                c=jnp.asarray(c, dt),
+                cinv=jnp.asarray(1.0 / c, dt),
+            )
         else:
-            self._data = core.QPData(P=Pj, q=qj, A=Aj, l=lj, u=uj)
-            self._scal = core.identity_scaling(n, m, dt)
+            Pj = jnp.asarray(P_full.toarray(), dt)
+            Aj = jnp.asarray(A.toarray() if m else np.zeros((m, n)), dt)
+            qj = jnp.asarray(q, dt)
+            lj = jnp.asarray(l, dt)
+            uj = jnp.asarray(u, dt)
 
-        self._check_convexity()
+            if int(self._stg.scaling) > 0:
+                self._data, self._scal = core.jit_ruiz(Pj, qj, Aj, lj, uj, int(self._stg.scaling))
+            else:
+                self._data = core.QPData(P=Pj, q=qj, A=Aj, l=lj, u=uj)
+                self._scal = core.identity_scaling(n, m, dt)
+
+            self._check_convexity()
 
         # scaled bounds on host for constraint typing
         l_s, u_s = np.asarray(self._data.l), np.asarray(self._data.u)
@@ -320,7 +374,7 @@ class Solver:
         # polish (host-gated on the polishing setting + SOLVED status)
         info.status_polish = 0
         info.polish_time = 0.0
-        if stg.polishing and status == int(SolverStatus.OSQP_SOLVED):
+        if stg.polishing and status == int(SolverStatus.OSQP_SOLVED) and not self._is_sparse:
             tp = time.perf_counter()
             pol = core.polish(
                 self._data,
@@ -450,6 +504,15 @@ class Solver:
     def update_data_mat(self, P_x=None, P_i=None, A_x=None, A_i=None):
         t0 = self._begin_update()
         dt = self._dtype
+        def _to_bcoo(S):
+            from jax.experimental import sparse as jsparse
+
+            S = S.tocoo()
+            return jsparse.BCOO(
+                (jnp.asarray(S.data, dt), jnp.asarray(np.stack([S.row, S.col], 1))),
+                shape=S.shape,
+            )
+
         if P_x is not None:
             P_triu = self._P_triu_pattern.copy()
             data = P_triu.data.copy()
@@ -463,9 +526,15 @@ class Solver:
             self._P_triu_pattern = P_triu
             P_full = (P_triu + P_triu.T - sp.diags(P_triu.diagonal())).tocsc()
             self._P_orig = P_full
-            Pj = jnp.asarray(P_full.toarray(), dt)
-            P_scaled = self._scal.c * (self._scal.D[:, None] * Pj * self._scal.D[None, :])
-            self._data = self._data._replace(P=P_scaled)
+            D = np.asarray(self._scal.D, np.float64)
+            c = float(self._scal.c)
+            if self._is_sparse:
+                P_scaled_sp = sp.diags(D) @ P_full @ sp.diags(D) * c
+                self._data = self._data._replace(P=_to_bcoo(P_scaled_sp))
+            else:
+                Pj = jnp.asarray(P_full.toarray(), dt)
+                P_scaled = self._scal.c * (self._scal.D[:, None] * Pj * self._scal.D[None, :])
+                self._data = self._data._replace(P=P_scaled)
         if A_x is not None:
             A = self._A_pattern.copy()
             data = A.data.copy()
@@ -478,10 +547,16 @@ class Solver:
             A = sp.csc_matrix((data, A.indices, A.indptr), shape=A.shape)
             self._A_pattern = A
             self._A_orig = A.copy()
-            Aj = jnp.asarray(A.toarray(), dt)
-            A_scaled = self._scal.E[:, None] * Aj * self._scal.D[None, :]
-            self._data = self._data._replace(A=A_scaled)
-        if P_x is not None:
+            if self._is_sparse:
+                D = np.asarray(self._scal.D, np.float64)
+                E = np.asarray(self._scal.E, np.float64)
+                A_scaled_sp = sp.diags(E) @ A @ sp.diags(D)
+                self._data = self._data._replace(A=_to_bcoo(A_scaled_sp))
+            else:
+                Aj = jnp.asarray(A.toarray(), dt)
+                A_scaled = self._scal.E[:, None] * Aj * self._scal.D[None, :]
+                self._data = self._data._replace(A=A_scaled)
+        if P_x is not None and not self._is_sparse:
             self._check_convexity()
         self._refactorize()
         info = self._info

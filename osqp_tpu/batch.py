@@ -35,8 +35,9 @@ from ._oracle.solver import OracleSettings
 from .solver import core
 
 
-@functools.partial(jax.jit, static_argnames=('scaling_iters', 'indirect'))
-def _setup_batch(P, q, A, l, u, rho, settings: core.Settings, scaling_iters: int, indirect: bool):
+@functools.partial(jax.jit, static_argnames=('scaling_iters', 'indirect', 'kkt_method'))
+def _setup_batch(P, q, A, l, u, rho, settings: core.Settings, scaling_iters: int, indirect: bool,
+                 kkt_method: str = 'chol'):
     """Vmapped: scale, type constraints, factorize."""
 
     def one(P, q, A, l, u, rho):
@@ -48,28 +49,32 @@ def _setup_batch(P, q, A, l, u, rho, settings: core.Settings, scaling_iters: int
         rho_state = core.make_rho_state(data.l, data.u, rho, settings.rho_is_vec)
         if indirect:
             diag = core.build_M_diag(data.P, data.A, settings.sigma, rho_state.rho_vec)
-            factor = core.Factor(L=jnp.zeros((0, 0), P.dtype), diag=diag)
+            factor = core.Factor(L=jnp.zeros((0, 0), P.dtype), diag=diag,
+                                 Minv=jnp.zeros((0, 0), P.dtype))
         else:
-            factor = core.factorize(data.P, data.A, settings.sigma, rho_state.rho_vec)
+            factor = core.factorize(data.P, data.A, settings.sigma, rho_state.rho_vec, kkt_method)
         return data, scal, rho_state, factor
 
     return jax.vmap(one)(P, q, A, l, u, rho)
 
 
-@functools.partial(jax.jit, static_argnames=('indirect',))
-def _solve_batch(data, scal, settings: core.Settings, rho, factor, iterates, indirect: bool):
+@functools.partial(jax.jit, static_argnames=('indirect', 'kkt_method'))
+def _solve_batch(data, scal, settings: core.Settings, rho, factor, iterates, indirect: bool,
+                 kkt_method: str = 'chol'):
     def one(data, scal, rho, factor, iterates):
         return core.solve_scaled_impl(
-            data, scal, settings, rho, factor, iterates, indirect=indirect, verbose=False
+            data, scal, settings, rho, factor, iterates, indirect=indirect, verbose=False,
+            kkt_method=kkt_method,
         )
 
     return jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(data, scal, rho, factor, iterates)
 
 
-@functools.partial(jax.jit, static_argnames=('indirect',))
+@functools.partial(jax.jit, static_argnames=('indirect', 'kkt_method'))
 def _update_and_solve_batch(
     data, scal, settings: core.Settings, rho, factor, iterates,
     q_new, l_new, u_new, has_q, has_l, has_u, indirect: bool,
+    kkt_method: str = 'chol',
 ):
     """Fused MPC step: rescale new vectors, retype constraints, refactorize,
     solve - one XLA program (mirrors reference update_data_vec + solve,
@@ -91,11 +96,12 @@ def _update_and_solve_batch(
         )
         if indirect:
             diag = core.build_M_diag(data.P, data.A, settings.sigma, vec)
-            factor = core.Factor(L=factor.L, diag=diag)
+            factor = factor._replace(diag=diag)
         else:
-            factor = core.factorize(data.P, data.A, settings.sigma, vec)
+            factor = core.factorize(data.P, data.A, settings.sigma, vec, kkt_method)
         res = core.solve_scaled_impl(
-            data, scal, settings, rho, factor, iterates, indirect=indirect, verbose=False
+            data, scal, settings, rho, factor, iterates, indirect=indirect, verbose=False,
+            kkt_method=kkt_method,
         )
         return res, data
 
@@ -104,9 +110,9 @@ def _update_and_solve_batch(
     )
 
 
-@functools.partial(jax.jit, static_argnames=('scaling_iters', 'indirect'))
+@functools.partial(jax.jit, static_argnames=('scaling_iters', 'indirect', 'kkt_method'))
 def batch_qp_solve(P, q, A, l, u, settings: core.Settings, rho, scaling_iters: int = 10,
-                   indirect: bool = False) -> core.SolveResult:
+                   indirect: bool = False, kkt_method: str = 'chol') -> core.SolveResult:
     """Pure fused batched solve: scale + factorize + ADMM in one XLA program.
 
     All inputs carry a leading batch axis.  This is the flagship jittable
@@ -114,7 +120,8 @@ def batch_qp_solve(P, q, A, l, u, settings: core.Settings, rho, scaling_iters: i
     shard_map for multi-chip batch sharding.
     """
     data, scal, rho_state, factor = _setup_batch(
-        P, q, A, l, u, rho, settings, scaling_iters=scaling_iters, indirect=indirect
+        P, q, A, l, u, rho, settings, scaling_iters=scaling_iters, indirect=indirect,
+        kkt_method=kkt_method,
     )
     B, n = P.shape[0], P.shape[1]
     m = A.shape[1]
@@ -123,12 +130,13 @@ def batch_qp_solve(P, q, A, l, u, settings: core.Settings, rho, scaling_iters: i
         z=jnp.zeros((B, m), P.dtype),
         y=jnp.zeros((B, m), P.dtype),
     )
-    return _solve_batch(data, scal, settings, rho_state, factor, iterates, indirect=indirect)
+    return _solve_batch(data, scal, settings, rho_state, factor, iterates, indirect=indirect,
+                        kkt_method=kkt_method)
 
 
-@functools.partial(jax.jit, static_argnames=('indirect',))
+@functools.partial(jax.jit, static_argnames=('indirect', 'kkt_method'))
 def mpc_rollout(data, scal, settings: core.Settings, rho, factor, iterates, q_seq,
-                indirect: bool = False):
+                indirect: bool = False, kkt_method: str = 'chol'):
     """Device-resident MPC rollout: scan over a sequence of cost vectors,
     each step = fused (update q -> warm re-solve) with zero host round-trips.
 
@@ -145,7 +153,7 @@ def mpc_rollout(data, scal, settings: core.Settings, rho, factor, iterates, q_se
         data, rho, factor, iterates = carry
         res, data = _update_and_solve_batch(
             data, scal, settings, rho, factor, iterates,
-            q_new, zeros_m, zeros_m, t, f, f, indirect=indirect,
+            q_new, zeros_m, zeros_m, t, f, f, indirect=indirect, kkt_method=kkt_method,
         )
         return (data, res.rho, res.factor, res.iterates), (res.x, res.iters, res.status)
 
@@ -172,10 +180,19 @@ class BatchedOSQP:
     ``l,u: (B,m) | (m,)``.
     """
 
-    def __init__(self, dtype=None, device=None):
+    def __init__(self, dtype=None, device=None, kkt_method='auto'):
         self._dtype = dtype
         self._device = device if device is not None else _resolve_device()
         self._pending = {}
+        self._kkt_method_opt = kkt_method
+
+    @property
+    def _kkt_method(self):
+        if self._kkt_method_opt != 'auto':
+            return self._kkt_method_opt
+        # float32 batches: explicit-inverse matvec solve (MXU-fast);
+        # float64: Cholesky (reference-exact trajectories)
+        return 'inv' if self._dtype == jnp.float32 else 'chol'
 
     @property
     def _indirect(self):
@@ -231,6 +248,7 @@ class BatchedOSQP:
             stg,
             scaling_iters=int(self._stg.scaling),
             indirect=self._indirect,
+            kkt_method=self._kkt_method,
         )
         self._iterates = core.Iterates(
             x=jnp.zeros((B, n), dt), z=jnp.zeros((B, m), dt), y=jnp.zeros((B, m), dt)
@@ -294,12 +312,13 @@ class BatchedOSQP:
                 jnp.asarray('l' in self._pending),
                 jnp.asarray('u' in self._pending),
                 indirect=self._indirect,
+                kkt_method=self._kkt_method,
             )
             self._pending = {}
         else:
             res = _solve_batch(
                 self._data, self._scal, stg, self._rho, self._factor, self._iterates,
-                indirect=self._indirect,
+                indirect=self._indirect, kkt_method=self._kkt_method,
             )
         self._iterates = res.iterates
         self._rho = res.rho
@@ -337,6 +356,6 @@ class BatchedOSQP:
         stg = self._core_settings()
         res = _solve_batch(
             self._data, self._scal, stg, self._rho, self._factor, self._iterates,
-            indirect=self._indirect,
+            indirect=self._indirect, kkt_method=self._kkt_method,
         )
         return res

@@ -1,0 +1,355 @@
+"""Shared-structure batched solver: the MXU speed-of-light path.
+
+The canonical MPC/scenario workload solves thousands of QPs with the SAME
+``P`` and ``A`` (same plant/constraint structure) and per-instance
+``q, l, u`` (initial states, references).  With a shared KKT operator the
+per-iteration linear algebra collapses from batched matvecs into single
+dense matmuls:
+
+    RHS = sigma X - Q + A' (rho * B2)        (n,m) @ (m,B)
+    Xt  = Minv @ RHS (+ one refinement)      (n,n) @ (n,B)  <- MXU
+    AXt = A @ Xt                             (m,n) @ (n,B)  <- MXU
+
+so one TPU chip advances the whole batch at matrix-unit throughput - the
+design the reference's CUDA backend cannot express (it solves instances
+independently; reference nn/torch.py:200-217 threads them on CPU).
+
+Semantics notes vs the per-instance path:
+
+* rho is a single shared scalar (vector rho by constraint type is still
+  applied, using the shared constraint typing of the FIRST instance's
+  bounds pattern when bounds differ only in values; loose/equality typing
+  uses per-instance bounds for projection and termination, but the KKT
+  operator uses the shared rho_vec).  Adaptive rho uses the batch-median
+  estimate and refactorizes the single shared operator.
+* Ruiz scaling is computed from the shared P/A (cost normalization uses the
+  batch-mean |q|), so D/E/c are shared.
+* Termination, certificates and statuses remain exact per instance.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from types import SimpleNamespace
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .constants import SolverStatus, status_string
+from .solver import core
+from .batch_fused import _batched_check
+
+_UNSOLVED = int(SolverStatus.OSQP_UNSOLVED)
+_MAX_ITER = int(SolverStatus.OSQP_MAX_ITER_REACHED)
+_PRIM_INF = int(SolverStatus.OSQP_PRIMAL_INFEASIBLE)
+_PRIM_INF_INACC = int(SolverStatus.OSQP_PRIMAL_INFEASIBLE_INACCURATE)
+_DUAL_INF = int(SolverStatus.OSQP_DUAL_INFEASIBLE)
+_DUAL_INF_INACC = int(SolverStatus.OSQP_DUAL_INFEASIBLE_INACCURATE)
+
+
+class SharedState(NamedTuple):
+    it: jax.Array
+    X: jax.Array  # (n, B)
+    Z: jax.Array  # (m, B)
+    Y: jax.Array  # (m, B)
+    dX: jax.Array
+    dY: jax.Array
+    rho: jax.Array  # shared scalar
+    rho_vec: jax.Array  # (m,)
+    rho_inv: jax.Array  # (m,)
+    Minv: jax.Array  # (n, n)
+    M: jax.Array  # (n, n)
+    status: jax.Array  # (B,)
+    iters_done: jax.Array
+    rho_updates: jax.Array  # scalar
+    fX: jax.Array
+    fZ: jax.Array
+    fY: jax.Array
+    fdX: jax.Array
+    fdY: jax.Array
+    pri_res: jax.Array
+    dua_res: jax.Array
+    obj_val: jax.Array
+    dual_obj_val: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=())
+def shared_solve(
+    P: jax.Array,  # (n, n) scaled shared
+    A: jax.Array,  # (m, n) scaled shared
+    Q: jax.Array,  # (n, B) scaled per-instance costs
+    L_b: jax.Array,  # (m, B) scaled per-instance bounds
+    U_b: jax.Array,  # (m, B)
+    scal: core.Scaling,  # shared
+    settings: core.Settings,
+    rho0: jax.Array,  # scalar
+    Minv: jax.Array,  # (n, n)
+    M: jax.Array,  # (n, n)
+    rho_vec: jax.Array,  # (m,)
+    X0: jax.Array,  # (n, B)
+    Z0: jax.Array,
+    Y0: jax.Array,
+):
+    n, B = Q.shape
+    m = A.shape[0]
+    dtype = Q.dtype
+    sigma = settings.sigma
+    alpha = settings.alpha
+
+    ct = settings.check_termination
+    epoch_len = jnp.where(ct > 0, ct, settings.iter_cap).astype(jnp.int32)
+    epochs_per_adapt = jnp.maximum(
+        (settings.adaptive_rho_interval + epoch_len - 1) // jnp.maximum(epoch_len, 1), 1
+    )
+
+    st = SharedState(
+        it=jnp.int32(0), X=X0, Z=Z0, Y=Y0,
+        dX=jnp.zeros((n, B), dtype), dY=jnp.zeros((m, B), dtype),
+        rho=rho0, rho_vec=rho_vec,
+        rho_inv=jnp.where(rho_vec > 0, 1.0 / rho_vec, 0.0),
+        Minv=Minv, M=M,
+        status=jnp.full((B,), _UNSOLVED, jnp.int32),
+        iters_done=jnp.zeros((B,), jnp.int32),
+        rho_updates=jnp.int32(0),
+        fX=X0, fZ=Z0, fY=Y0,
+        fdX=jnp.zeros((n, B), dtype), fdY=jnp.zeros((m, B), dtype),
+        pri_res=jnp.full((B,), jnp.inf, dtype),
+        dua_res=jnp.full((B,), jnp.inf, dtype),
+        obj_val=jnp.full((B,), jnp.nan, dtype),
+        dual_obj_val=jnp.full((B,), jnp.nan, dtype),
+    )
+
+    mm = functools.partial(jnp.matmul, preferred_element_type=dtype)
+
+    def iteration(carry, _):
+        X, Z, Y, dX, dY, Minv, M, rho_vec, rho_inv = carry
+        B2 = Z - rho_inv[:, None] * Y
+        RHS = sigma * X - Q + mm(A.T, rho_vec[:, None] * B2)
+        Xt = mm(Minv, RHS)
+        Xt = Xt + mm(Minv, RHS - mm(M, Xt))  # refinement
+        AXt = mm(A, Xt)
+        NU = rho_vec[:, None] * (AXt - B2)
+        Zt = Z + rho_inv[:, None] * (NU - Y)
+        Xn = alpha * Xt + (1 - alpha) * X
+        Zr = alpha * Zt + (1 - alpha) * Z
+        Zn = jnp.clip(Zr + rho_inv[:, None] * Y, L_b, U_b)
+        dYn = rho_vec[:, None] * (Zr - Zn)
+        Yn = Y + dYn
+        return (Xn, Zn, Yn, Xn - X, dYn, Minv, M, rho_vec, rho_inv), None
+
+    # batched termination using the exact core semantics; shared data mapped
+    # with in_axes=None
+    def check(X, Z, Y, dX, dY, approximate):
+        def one(q, l, u, x, z, y, dx, dy):
+            data1 = core.QPData(P=P, q=q, A=A, l=l, u=u)
+            st1 = SimpleNamespace(x=x, z=z, y=y, delta_x=dx, delta_y=dy)
+            return core.termination_status(data1, scal, st1, settings, approximate)
+
+        return jax.vmap(one, in_axes=(1, 1, 1, 1, 1, 1, 1, 1))(
+            Q, L_b, U_b, X, Z, Y, dX, dY
+        )
+
+    def cond(st: SharedState):
+        return (st.it < settings.iter_cap) & jnp.any(st.status == _UNSOLVED)
+
+    def body(st: SharedState):
+        this_epoch = jnp.minimum(epoch_len, settings.iter_cap - st.it)
+        carry = (st.X, st.Z, st.Y, st.dX, st.dY, st.Minv, st.M, st.rho_vec, st.rho_inv)
+        carry = lax.fori_loop(0, this_epoch, lambda k, c: iteration(c, None)[0], carry)
+        X, Z, Y, dX, dY, *_ = carry
+        it = st.it + this_epoch
+        active = st.status == _UNSOLVED
+        st = st._replace(
+            it=it,
+            X=jnp.where(active[None], X, st.X),
+            Z=jnp.where(active[None], Z, st.Z),
+            Y=jnp.where(active[None], Y, st.Y),
+            dX=jnp.where(active[None], dX, st.dX),
+            dY=jnp.where(active[None], dY, st.dY),
+        )
+
+        status_new, pri, dua, obj, dobj = check(st.X, st.Z, st.Y, st.dX, st.dY, False)
+        newly = active & (status_new != _UNSOLVED)
+        st = st._replace(
+            status=jnp.where(newly, status_new, st.status),
+            iters_done=jnp.where(active, it, st.iters_done),
+            pri_res=jnp.where(active, pri, st.pri_res),
+            dua_res=jnp.where(active, dua, st.dua_res),
+            obj_val=jnp.where(active, obj, st.obj_val),
+            dual_obj_val=jnp.where(active, dobj, st.dual_obj_val),
+            fX=jnp.where(newly[None], st.X, st.fX),
+            fZ=jnp.where(newly[None], st.Z, st.fZ),
+            fY=jnp.where(newly[None], st.Y, st.fY),
+            fdX=jnp.where(newly[None], st.dX, st.fdX),
+            fdY=jnp.where(newly[None], st.dY, st.fdY),
+        )
+
+        epoch_idx = (it + epoch_len - 1) // jnp.maximum(epoch_len, 1)
+        do_adapt = (
+            settings.adaptive_rho
+            & (settings.adaptive_rho_interval > 0)
+            & (epoch_idx % epochs_per_adapt == 0)
+            & jnp.any(st.status == _UNSOLVED)
+        )
+
+        def adapt(st: SharedState):
+            # batch-median rho estimate over still-active instances
+            def est(q, x, z, y):
+                data1 = core.QPData(P=P, q=q, A=A, l=q[:1], u=q[:1])  # l/u unused
+                return core.rho_estimate_fn(data1, x, z, y, st.rho)
+
+            ests = jax.vmap(est, in_axes=(1, 1, 1, 1))(Q, st.X, st.Z, st.Y)
+            still = st.status == _UNSOLVED
+            # median over active instances (inactive -> current rho)
+            ests = jnp.where(still, ests, st.rho)
+            rho_new = jnp.median(ests)
+            tolr = settings.adaptive_rho_tolerance
+            trig = (rho_new > tolr * st.rho) | (rho_new < st.rho / tolr)
+
+            def do(st):
+                types = core.constraint_types(L_b[:, 0], U_b[:, 0])
+                vec = core.rho_vec_from_types(types, rho_new, settings.rho_is_vec)
+                fac = core.factorize(P, A, sigma, vec, 'inv')
+                return st._replace(
+                    rho=jnp.clip(rho_new, 1e-6, 1e6),
+                    rho_vec=vec,
+                    rho_inv=jnp.where(vec > 0, 1.0 / vec, 0.0),
+                    Minv=fac.Minv,
+                    M=fac.L,
+                    rho_updates=st.rho_updates + 1,
+                )
+
+            return lax.cond(trig, do, lambda s: s, st)
+
+        st = lax.cond(do_adapt, adapt, lambda s: s, st)
+        return st
+
+    st = lax.while_loop(cond, body, st)
+
+    # post-loop max-iter handling
+    active = st.status == _UNSOLVED
+    status_ex, pri_ex, dua_ex, obj_ex, dobj_ex = check(st.X, st.Z, st.Y, st.dX, st.dY, False)
+    status_ap, _, _, obj_ap, _ = check(st.X, st.Z, st.Y, st.dX, st.dY, True)
+    status_fin = jnp.where(
+        status_ex != _UNSOLVED,
+        status_ex,
+        jnp.where(status_ap != _UNSOLVED, status_ap, _MAX_ITER),
+    ).astype(jnp.int32)
+    st = st._replace(
+        status=jnp.where(active, status_fin, st.status),
+        iters_done=jnp.where(active, st.it, st.iters_done),
+        pri_res=jnp.where(active, pri_ex, st.pri_res),
+        dua_res=jnp.where(active, dua_ex, st.dua_res),
+        obj_val=jnp.where(active, jnp.where(status_ex != _UNSOLVED, obj_ex, obj_ap), st.obj_val),
+        dual_obj_val=jnp.where(active, dobj_ex, st.dual_obj_val),
+        fX=jnp.where(active[None], st.X, st.fX),
+        fZ=jnp.where(active[None], st.Z, st.fZ),
+        fY=jnp.where(active[None], st.Y, st.fY),
+        fdX=jnp.where(active[None], st.dX, st.fdX),
+        fdY=jnp.where(active[None], st.dY, st.fdY),
+    )
+
+    infeasible = jnp.isin(
+        st.status, jnp.array([_PRIM_INF, _PRIM_INF_INACC, _DUAL_INF, _DUAL_INF_INACC])
+    )
+    unscaled = ~settings.scaled_termination
+    X_out = jnp.where(infeasible[None], jnp.nan, scal.D[:, None] * st.fX)
+    Y_out = jnp.where(infeasible[None], jnp.nan, scal.cinv * (scal.E[:, None] * st.fY))
+    prim_cert = jnp.where(unscaled, scal.E[:, None] * st.fdY, st.fdY)
+    dual_cert = jnp.where(unscaled, scal.D[:, None] * st.fdX, st.fdX)
+
+    return dict(
+        x=X_out.T, y=Y_out.T,
+        prim_inf_cert=prim_cert.T, dual_inf_cert=dual_cert.T,
+        status=st.status, iters=st.iters_done,
+        pri_res=st.pri_res, dua_res=st.dua_res,
+        obj_val=st.obj_val, dual_obj_val=st.dual_obj_val,
+        rho=st.rho, rho_vec=st.rho_vec, Minv=st.Minv, M=st.M,
+        rho_updates=st.rho_updates,
+        X=st.X, Z=st.Z, Y=st.Y,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=('steps',))
+def shared_mpc_rollout(P, A, Q0, L_b, U_b, scal, settings, rho0, Minv, M, rho_vec,
+                       q_seq, steps: int = None):
+    """Scan of warm MPC steps on the shared path.  q_seq: (S, n, B) scaled? no:
+    UNSCALED per-step cost matrices (S, n, B)."""
+    n, B = Q0.shape
+    m = A.shape[0]
+    dtype = Q0.dtype
+
+    def step(carry, q_new):
+        X, Z, Y, rho, Minv_c, M_c, rho_vec_c = carry
+        Qs = settings_scale_q(scal, q_new)
+        out = shared_solve(P, A, Qs, L_b, U_b, scal, settings, rho, Minv_c, M_c,
+                           rho_vec_c, X, Z, Y)
+        carry = (out['X'], out['Z'], out['Y'], out['rho'], out['Minv'], out['M'],
+                 out['rho_vec'])
+        return carry, (out['x'], out['iters'], out['status'])
+
+    X0 = jnp.zeros((n, B), dtype)
+    Z0 = jnp.zeros((m, B), dtype)
+    Y0 = jnp.zeros((m, B), dtype)
+    carry, ys = jax.lax.scan(step, (X0, Z0, Y0, rho0, Minv, M, rho_vec), q_seq)
+    return carry, ys
+
+
+def settings_scale_q(scal: core.Scaling, q_new):
+    return scal.c * (scal.D[:, None] * q_new)
+
+
+def shared_setup(P, A, q_b, l_b, u_b, settings_host, dtype=jnp.float32):
+    """Host-side setup for the shared path.  P (n,n), A (m,n) shared numpy;
+    q_b (B,n), l_b/u_b (B,m) per instance.  Returns all device arrays needed
+    by shared_solve (feature-first layouts)."""
+    import scipy.sparse as sp
+
+    n = P.shape[0]
+    m = A.shape[0]
+    P_full = np.asarray(sp.csc_matrix(P).todense(), np.float64)
+    P_full = np.triu(P_full) + np.triu(P_full, 1).T
+    A_d = np.asarray(sp.csc_matrix(A).todense(), np.float64)
+    q_b = np.asarray(q_b, np.float64)
+    l_b = np.maximum(np.asarray(l_b, np.float64), -1e30)
+    u_b = np.minimum(np.asarray(u_b, np.float64), 1e30)
+    B = q_b.shape[0]
+
+    # shared Ruiz from P/A with the batch-mean |q| as cost proxy
+    q_repr = np.mean(np.abs(q_b), axis=0)
+    from .solver.core import ruiz_scale
+
+    ruiz_dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    data, scal = jax.jit(ruiz_scale, static_argnums=(5,))(
+        jnp.asarray(P_full, ruiz_dt),
+        jnp.asarray(q_repr, ruiz_dt),
+        jnp.asarray(A_d, ruiz_dt),
+        jnp.zeros((m,), ruiz_dt),
+        jnp.zeros((m,), ruiz_dt),
+        int(settings_host.scaling),
+    )
+    D = np.asarray(scal.D)
+    E = np.asarray(scal.E)
+    c = float(scal.c)
+
+    P_s = jnp.asarray(np.asarray(data.P), dtype)
+    A_s = jnp.asarray(np.asarray(data.A), dtype)
+    scal_t = core.Scaling(
+        D=jnp.asarray(D, dtype), Dinv=jnp.asarray(1.0 / D, dtype),
+        E=jnp.asarray(E, dtype), Einv=jnp.asarray(1.0 / E if m else E, dtype),
+        c=jnp.asarray(c, dtype), cinv=jnp.asarray(1.0 / c, dtype),
+    )
+    Q = jnp.asarray(c * (D[None] * q_b).T, dtype)  # (n, B)
+    L_t = jnp.asarray((E[None] * l_b).T, dtype)
+    U_t = jnp.asarray((E[None] * u_b).T, dtype)
+
+    rho0 = jnp.asarray(min(max(settings_host.rho, 1e-6), 1e6), dtype)
+    types = core.constraint_types(L_t[:, 0], U_t[:, 0])
+    rho_vec = core.rho_vec_from_types(types, rho0, jnp.asarray(bool(settings_host.rho_is_vec)))
+    fac = core.factorize(P_s, A_s, jnp.asarray(settings_host.sigma, dtype), rho_vec, 'inv')
+    return P_s, A_s, Q, L_t, U_t, scal_t, rho0, fac.Minv, fac.L, rho_vec

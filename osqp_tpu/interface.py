@@ -119,6 +119,9 @@ class OSQP:
         if not algebra_available(self.algebra):
             raise RuntimeError(f'Algebra {self.algebra} not available')
         self.ext = algebra_module(self.algebra)
+        # remaining kwargs are forwarded to the backend Solver constructor
+        # (e.g. dtype=, device=, sparse= for the jax backend)
+        self._solver_kwargs = dict(kwargs)
 
         self._dtype = np.float32 if getattr(self.ext, 'OSQP_USE_FLOAT', 0) == 1 else np.float64
         self._itype = np.int32
@@ -354,7 +357,7 @@ class OSQP:
         self.settings = OSQPSettings()
         self.update_settings(**settings)
 
-        self._solver = self.ext.Solver()
+        self._solver = self.ext.Solver(**self._solver_kwargs)
         self.raises_error(
             self._solver.setup, P, q, A, l, u, **self.settings.as_dict()
         )

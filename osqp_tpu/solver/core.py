@@ -122,11 +122,19 @@ class RhoState(NamedTuple):
 
 
 class Factor(NamedTuple):
-    """Direct-mode Cholesky factor of M(rho); indirect mode carries the
-    diagonal preconditioner instead (L unused, diag used)."""
+    """Direct-mode KKT factorization state.
 
-    L: jax.Array  # (n, n) lower
+    kkt_method='chol': L = Cholesky factor, Minv empty.
+    kkt_method='inv':  L = M itself (kept for the refinement residual),
+                       Minv = explicit inverse - the per-iteration solve is
+                       then a pure batched matvec + one refinement step,
+                       which maps to MXU matmuls instead of sequential
+                       triangular solves (the TPU-fast path for batches).
+    Indirect mode carries the CG diagonal preconditioner in ``diag``."""
+
+    L: jax.Array  # (n, n) lower Cholesky ('chol') or M ('inv')
     diag: jax.Array  # (n,) diag(M) for the CG preconditioner
+    Minv: jax.Array  # (n, n) explicit inverse ('inv' mode; else (0, 0))
 
 
 class Iterates(NamedTuple):
@@ -291,18 +299,48 @@ def build_M(P, A, sigma, rho_vec):
     return M
 
 
+def _is_sparse(mat):
+    from jax.experimental import sparse as jsparse
+
+    return isinstance(mat, jsparse.BCOO)
+
+
+def mat_diag(P):
+    """diagonal of a dense or BCOO square matrix."""
+    if _is_sparse(P):
+        r = P.indices[:, 0]
+        c = P.indices[:, 1]
+        vals = jnp.where(r == c, P.data, 0.0)
+        return jnp.zeros((P.shape[0],), P.data.dtype).at[r].add(vals)
+    return jnp.diagonal(P)
+
+
+def gram_diag(A, rho_vec):
+    """diag(A' diag(rho) A) for dense or BCOO A."""
+    if _is_sparse(A):
+        from jax.experimental import sparse as jsparse
+
+        A_sq = jsparse.BCOO((A.data * A.data, A.indices), shape=A.shape)
+        return A_sq.T @ rho_vec
+    return jnp.sum(rho_vec[:, None] * A * A, axis=0)
+
+
 def build_M_diag(P, A, sigma, rho_vec):
     """diag(M) without forming M (CG preconditioner)."""
-    d = jnp.diagonal(P) + sigma
+    d = mat_diag(P) + sigma
     if A.shape[0]:
-        d = d + jnp.sum(rho_vec[:, None] * A * A, axis=0)
+        d = d + gram_diag(A, rho_vec)
     return d
 
 
-def factorize(P, A, sigma, rho_vec) -> Factor:
+def factorize(P, A, sigma, rho_vec, kkt_method: str = 'chol') -> Factor:
     M = build_M(P, A, sigma, rho_vec)
     L = jnp.linalg.cholesky(M)
-    return Factor(L=L, diag=jnp.diagonal(M))
+    if kkt_method == 'inv':
+        eye = jnp.eye(M.shape[0], dtype=M.dtype)
+        Minv = _cho_solve(L, eye)
+        return Factor(L=M, diag=jnp.diagonal(M), Minv=Minv)
+    return Factor(L=L, diag=jnp.diagonal(M), Minv=jnp.zeros((0, 0), M.dtype))
 
 
 @jax.jit
@@ -541,7 +579,7 @@ def termination_status(
 # ---------------------------------------------------------------------------
 
 
-def admm_iteration(data: QPData, settings: Settings, st: LoopState, indirect: bool):
+def admm_iteration(data: QPData, settings: Settings, st: LoopState, indirect: bool, kkt_method: str = 'chol'):
     """One ADMM step; returns updated iterate fields + CG bookkeeping."""
     n = data.P.shape[0]
     m = data.A.shape[0]
@@ -571,6 +609,12 @@ def admm_iteration(data: QPData, settings: Settings, st: LoopState, indirect: bo
             settings.cg_max_iter,
         )
         cg_iters = st.cg_iters + k
+    elif kkt_method == 'inv':
+        # matvec solve + one iterative-refinement step (st.factor.L holds M)
+        x_tilde = st.factor.Minv @ rhs
+        resid = rhs - st.factor.L @ x_tilde
+        x_tilde = x_tilde + st.factor.Minv @ resid
+        cg_iters = st.cg_iters
     else:
         x_tilde = _cho_solve(st.factor.L, rhs)
         cg_iters = st.cg_iters
@@ -623,7 +667,7 @@ def rho_estimate_fn(data: QPData, x, z, y, rho):
     return jnp.clip(new_rho, RHO_MIN, RHO_MAX)
 
 
-def adapt_rho(data: QPData, settings: Settings, st: LoopState, indirect: bool):
+def adapt_rho(data: QPData, settings: Settings, st: LoopState, indirect: bool, kkt_method: str = 'chol'):
     rho_new = rho_estimate_fn(data, st.x, st.z, st.y, st.rho.rho)
     tol = settings.adaptive_rho_tolerance
     trigger = (rho_new > tol * st.rho.rho) | (rho_new < st.rho.rho / tol)
@@ -638,14 +682,10 @@ def adapt_rho(data: QPData, settings: Settings, st: LoopState, indirect: bool):
             constr_type=st.rho.constr_type,
         )
         if indirect:
-            M_diag = (
-                jnp.diagonal(data.P)
-                + settings.sigma
-                + (jnp.sum(vec[:, None] * data.A * data.A, axis=0) if data.A.shape[0] else 0.0)
-            )
-            factor = Factor(L=st.factor.L, diag=M_diag)
+            M_diag = build_M_diag(data.P, data.A, settings.sigma, vec)
+            factor = st.factor._replace(diag=M_diag)
         else:
-            factor = factorize(data.P, data.A, settings.sigma, vec)
+            factor = factorize(data.P, data.A, settings.sigma, vec, kkt_method)
         return st._replace(rho=rho, factor=factor, rho_updates=st.rho_updates + 1)
 
     st = lax.cond(trigger, do_update, lambda s: s, st)
@@ -674,6 +714,7 @@ def solve_scaled_impl(
     indirect: bool = False,
     verbose: bool = False,
     it0=None,
+    kkt_method: str = 'chol',
 ) -> SolveResult:
     """Run the full ADMM fixed-point loop on already-scaled data.
 
@@ -725,7 +766,7 @@ def solve_scaled_impl(
         this_epoch = jnp.minimum(epoch_len, settings.iter_cap - st.it)
 
         def inner(_, s):
-            return admm_iteration(data, settings, s, indirect)
+            return admm_iteration(data, settings, s, indirect, kkt_method)
 
         st = lax.fori_loop(0, this_epoch, inner, st)
         it = st.it + this_epoch
@@ -770,7 +811,7 @@ def solve_scaled_impl(
             & (st.status == _UNSOLVED)
         )
         st = lax.cond(
-            do_adapt, lambda s: adapt_rho(data, settings, s, indirect), lambda s: s, st
+            do_adapt, lambda s: adapt_rho(data, settings, s, indirect, kkt_method), lambda s: s, st
         )
         return st
 
@@ -832,7 +873,7 @@ def solve_scaled_impl(
     )
 
 
-solve_scaled = jax.jit(solve_scaled_impl, static_argnames=('indirect', 'verbose'))
+solve_scaled = jax.jit(solve_scaled_impl, static_argnames=('indirect', 'verbose', 'kkt_method'))
 
 
 # ---------------------------------------------------------------------------
