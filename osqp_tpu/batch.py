@@ -180,11 +180,16 @@ class BatchedOSQP:
     ``l,u: (B,m) | (m,)``.
     """
 
-    def __init__(self, dtype=None, device=None, kkt_method='auto'):
+    def __init__(self, dtype=None, device=None, kkt_method='auto', engine='auto'):
+        """engine: 'vmap' (general per-instance data), 'shared' (shared P/A
+        across the batch - single-matmul iterations on the MXU), or 'auto'
+        (shared when P and A are passed unbatched)."""
         self._dtype = dtype
         self._device = device if device is not None else _resolve_device()
         self._pending = {}
         self._kkt_method_opt = kkt_method
+        self._engine_opt = engine
+        self._engine = None
 
     @property
     def _kkt_method(self):
@@ -216,6 +221,10 @@ class BatchedOSQP:
         P = np.asarray(P, np.float64)
         A = np.asarray(A, np.float64)
         q = np.asarray(q, np.float64)
+        if self._engine_opt == 'auto':
+            self._engine = 'shared' if (P.ndim == 2 and A.ndim == 2) else 'vmap'
+        else:
+            self._engine = self._engine_opt
         if P.ndim == 2:
             assert q.ndim == 2 or A.ndim == 3, 'cannot infer batch size'
         n = P.shape[-1]
@@ -228,6 +237,25 @@ class BatchedOSQP:
             np.asarray(u).shape[0] if np.asarray(u).ndim == 2 else 1,
         )
         self.B, self.n, self.m = B, n, m
+
+        if self._engine == 'shared':
+            assert P.ndim == 2 and A.ndim == 2, 'shared engine requires unbatched P and A'
+            from .batch_shared import shared_setup
+
+            if self._dtype is None:
+                self._dtype = _default_dtype()
+            qb = np.broadcast_to(np.asarray(q, np.float64), (B, n)).copy()
+            lb = np.broadcast_to(np.asarray(l, np.float64), (B, m)).copy()
+            ub = np.broadcast_to(np.asarray(u, np.float64), (B, m)).copy()
+            (self._sh_P, self._sh_A, self._sh_Q, self._sh_L, self._sh_U,
+             self._sh_scal, self._sh_rho, self._sh_Minv, self._sh_M,
+             self._sh_rho_vec) = shared_setup(P, A, qb, lb, ub, self._stg, dtype=self._dtype)
+            dtp = self._dtype
+            self._sh_X = jnp.zeros((n, B), dtp)
+            self._sh_Z = jnp.zeros((m, B), dtp)
+            self._sh_Y = jnp.zeros((m, B), dtp)
+            self.setup_time = time.perf_counter() - t0
+            return self
 
         def bcast(x, shape):
             x = np.asarray(x, np.float64)
@@ -276,6 +304,16 @@ class BatchedOSQP:
 
     @_on_device
     def warm_start(self, x=None, y=None):
+        if self._engine == 'shared':
+            if x is not None:
+                xs = self._sh_scal.Dinv[:, None] * jnp.asarray(np.asarray(x, np.float64).T, self._dtype)
+                self._sh_X = xs
+                self._sh_Z = self._sh_A @ xs
+            if y is not None:
+                self._sh_Y = self._sh_scal.c * (
+                    self._sh_scal.Einv[:, None] * jnp.asarray(np.asarray(y, np.float64).T, self._dtype)
+                )
+            return
         it = self._iterates
         if x is not None:
             xs = jax.vmap(lambda scal, x: scal.Dinv * x)(self._scal, jnp.asarray(x, self._dtype))
@@ -292,6 +330,8 @@ class BatchedOSQP:
     def solve(self):
         t0 = time.perf_counter()
         stg = self._core_settings()
+        if self._engine == 'shared':
+            return self._solve_shared(stg, t0)
         if not self._stg.warm_starting:
             dt = self._dtype
             self._iterates = core.Iterates(
@@ -346,6 +386,58 @@ class BatchedOSQP:
             y=np.asarray(res.y),
             prim_inf_cert=np.asarray(res.prim_inf_cert),
             dual_inf_cert=np.asarray(res.dual_inf_cert),
+            info=info,
+        )
+
+    def _solve_shared(self, stg, t0):
+        from .batch_shared import shared_solve, settings_scale_q
+
+        dtp = self._dtype
+        B, n, m = self.B, self.n, self.m
+        if not self._stg.warm_starting:
+            self._sh_X = jnp.zeros((n, B), dtp)
+            self._sh_Z = jnp.zeros((m, B), dtp)
+            self._sh_Y = jnp.zeros((m, B), dtp)
+        if self._pending:
+            if 'q' in self._pending:
+                self._sh_Q = settings_scale_q(self._sh_scal, self._pending['q'].T)
+            if 'l' in self._pending:
+                self._sh_L = self._sh_scal.E[:, None] * self._pending['l'].T
+            if 'u' in self._pending:
+                self._sh_U = self._sh_scal.E[:, None] * self._pending['u'].T
+            self._pending = {}
+        out = shared_solve(
+            self._sh_P, self._sh_A, self._sh_Q, self._sh_L, self._sh_U,
+            self._sh_scal, stg, self._sh_rho, self._sh_Minv, self._sh_M,
+            self._sh_rho_vec, self._sh_X, self._sh_Z, self._sh_Y,
+        )
+        self._sh_X, self._sh_Z, self._sh_Y = out['X'], out['Z'], out['Y']
+        self._sh_rho = out['rho']
+        self._sh_rho_vec = out['rho_vec']
+        self._sh_Minv, self._sh_M = out['Minv'], out['M']
+
+        solve_time = time.perf_counter() - t0
+        status_vals = np.asarray(out['status'])
+        info = SimpleNamespace(
+            status_val=status_vals,
+            status=[status_string(s) for s in status_vals],
+            iter=np.asarray(out['iters']),
+            obj_val=np.asarray(out['obj_val']),
+            dual_obj_val=np.asarray(out['dual_obj_val']),
+            duality_gap=np.asarray(out['obj_val'] - out['dual_obj_val']),
+            prim_res=np.asarray(out['pri_res']),
+            dual_res=np.asarray(out['dua_res']),
+            rho_estimate=float(out['rho']),
+            rho_updates=int(out['rho_updates']),
+            solve_time=solve_time,
+            setup_time=self.setup_time,
+            run_time=self.setup_time + solve_time,
+        )
+        return SimpleNamespace(
+            x=np.asarray(out['x']),
+            y=np.asarray(out['y']),
+            prim_inf_cert=np.asarray(out['prim_inf_cert']),
+            dual_inf_cert=np.asarray(out['dual_inf_cert']),
             info=info,
         )
 

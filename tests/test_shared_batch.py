@@ -81,3 +81,23 @@ def test_shared_mpc_rollout_warm():
               verbose=False, eps_abs=1e-9, eps_rel=1e-9, max_iter=100000)
     sol, _ = ref.solve()
     np.testing.assert_allclose(np.asarray(xs)[-1, b], sol.x, rtol=1e-2, atol=2e-3)
+
+
+def test_batched_osqp_auto_shared_engine():
+    """BatchedOSQP auto-selects the shared engine for unbatched P/A and
+    agrees with the vmap engine."""
+    from osqp_tpu.batch import BatchedOSQP
+
+    B, n, m = 8, 10, 15
+    P, A, q, l, u = _problems(B, n, m, seed=3)
+    s = BatchedOSQP()
+    s.setup(P, q, A, l, u, verbose=False, eps_abs=1e-4, eps_rel=1e-4)
+    assert s._engine == 'shared'
+    r = s.solve()
+    assert all(v == 1 for v in r.info.status_val)
+
+    sv = BatchedOSQP(engine='vmap')
+    sv.setup(np.tile(P, (B, 1, 1)), q, np.tile(A, (B, 1, 1)), l, u,
+             verbose=False, eps_abs=1e-4, eps_rel=1e-4)
+    rv = sv.solve()
+    np.testing.assert_allclose(r.x, rv.x, rtol=1e-2, atol=5e-3)
