@@ -1,0 +1,144 @@
+"""ctypes wrapper for the native sparse LDL' factorization (ldl.cpp).
+
+Builds the shared library on first use with the system C++ compiler (cached
+next to the source); falls back gracefully if no compiler is available -
+callers must check :func:`available`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+import scipy.sparse as sp
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, 'ldl.cpp')
+_LIB_PATH = os.path.join(_HERE, '_ldl_native.so')
+
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return
+        try:
+            if (not os.path.exists(_LIB_PATH)) or (
+                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
+            ):
+                subprocess.check_call(
+                    ['g++', '-O3', '-shared', '-fPIC', '-o', _LIB_PATH, _SRC],
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                )
+            lib = ctypes.CDLL(_LIB_PATH)
+        except (OSError, subprocess.CalledProcessError, FileNotFoundError):
+            _build_failed = True
+            return
+
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.ldl_symbolic.restype = ctypes.c_int32
+        lib.ldl_symbolic.argtypes = [ctypes.c_int32] + [i32p] * 4
+        lib.ldl_numeric.restype = ctypes.c_int32
+        lib.ldl_numeric.argtypes = [
+            ctypes.c_int32, i32p, i32p, f64p, i32p, i32p, i32p, f64p, f64p,
+            f64p, f64p, i32p, i32p, i32p, i32p,
+        ]
+        lib.ldl_solve.restype = None
+        lib.ldl_solve.argtypes = [ctypes.c_int32, i32p, i32p, f64p, f64p, f64p]
+        _lib = lib
+
+
+def available() -> bool:
+    if os.environ.get('OSQP_TPU_NO_NATIVE') == '1':
+        return False
+    _build()
+    return _lib is not None
+
+
+def _i32(a):
+    return np.ascontiguousarray(a, dtype=np.int32)
+
+
+def _ptr_i(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _ptr_d(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+class LDLFactor:
+    """LDL' factorization of a quasi-definite symmetric matrix.
+
+    Accepts the UPPER-triangular part as scipy CSC.  ``n_positive`` exposes
+    the inertia (the QDLDL-style non-convexity detector: the ADMM KKT matrix
+    must have exactly n_x positive eigenvalues).
+    """
+
+    def __init__(self, K_triu_csc: sp.csc_matrix):
+        assert available(), 'native LDL library not available'
+        K = sp.csc_matrix(K_triu_csc)
+        K.sort_indices()
+        self.n = K.shape[0]
+        n = self.n
+        self._Ap = _i32(K.indptr)
+        self._Ai = _i32(K.indices)
+        self._Ax = np.ascontiguousarray(K.data, dtype=np.float64)
+
+        self._parent = np.zeros(n, np.int32)
+        self._Lnz = np.zeros(n, np.int32)
+        flag = np.zeros(n, np.int32)
+        total = _lib.ldl_symbolic(
+            n, _ptr_i(self._Ap), _ptr_i(self._Ai), _ptr_i(self._parent),
+            _ptr_i(self._Lnz), _ptr_i(flag),
+        )
+        if total < 0:
+            raise ValueError('ldl_symbolic failed (matrix must be upper-triangular CSC with diagonal)')
+        self._Lp = np.zeros(n + 1, np.int32)
+        np.cumsum(self._Lnz, out=self._Lp[1:])
+        self._Li = np.zeros(max(total, 1), np.int32)
+        self._Lx = np.zeros(max(total, 1), np.float64)
+        self._D = np.zeros(n, np.float64)
+        self._Dinv = np.zeros(n, np.float64)
+        self.n_positive = None
+        self._refactor()
+
+    def _refactor(self):
+        n = self.n
+        Y = np.zeros(n, np.float64)
+        pattern = np.zeros(n, np.int32)
+        stack = np.zeros(n, np.int32)
+        flag = np.zeros(n, np.int32)
+        lnz_cur = np.zeros(n, np.int32)
+        rc = _lib.ldl_numeric(
+            n, _ptr_i(self._Ap), _ptr_i(self._Ai), _ptr_d(self._Ax),
+            _ptr_i(self._parent), _ptr_i(self._Lp), _ptr_i(self._Li),
+            _ptr_d(self._Lx), _ptr_d(self._D), _ptr_d(self._Dinv),
+            _ptr_d(Y), _ptr_i(pattern), _ptr_i(stack), _ptr_i(flag),
+            _ptr_i(lnz_cur),
+        )
+        if rc < 0:
+            raise ZeroDivisionError(f'zero pivot at column {-rc - 1}')
+        self.n_positive = int(rc)
+
+    def update_values(self, new_data: np.ndarray):
+        """Numeric-only refactorization with new matrix values (same pattern)."""
+        self._Ax[:] = new_data
+        self._refactor()
+
+    def solve(self, b: np.ndarray) -> np.ndarray:
+        x = np.ascontiguousarray(b, dtype=np.float64).copy()
+        _lib.ldl_solve(
+            self.n, _ptr_i(self._Lp), _ptr_i(self._Li), _ptr_d(self._Lx),
+            _ptr_d(self._Dinv), _ptr_d(x),
+        )
+        return x
