@@ -494,6 +494,22 @@ class OSQP:
             return dP_dense, np.asarray(dA)
         return dP_out, dA_out
 
+    def forward_derivative(self, dP=None, dq=None, dA=None, dl=None, du=None):
+        """Forward-mode directional derivatives (dx, dyl, dyu) of the
+        solution map - implemented here although the reference leaves it
+        unimplemented (reference tests/derivative_test.py:98 skip marker)."""
+        assert self.has_capability('OSQP_CAPABILITY_DERIVATIVES'), 'This OSQP object does not support derivatives'
+        results = self._derivative_results()
+
+        from .solver.derivatives import forward_derivative
+
+        cache = self._derivative_cache
+        return forward_derivative(
+            P=cache['P'], q=cache['q'], A=cache['A'], l=cache['l'], u=cache['u'],
+            x=results.x, y=results.y,
+            dP=dP, dq=dq, dA=dA, dl=dl, du=du,
+        )
+
     def adjoint_derivative_get_vec(self):
         assert self.has_capability('OSQP_CAPABILITY_DERIVATIVES'), 'This OSQP object does not support derivatives'
         self._derivative_results()

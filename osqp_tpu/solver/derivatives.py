@@ -99,3 +99,76 @@ def adjoint_derivative(P, q, A, l, u, x, y, dx, dy, delta=1e-8, refine_iters=8):
         dA[idx] = -(np.outer(y[idx], r_x) + np.outer(r_nu, x))
 
     return {'dq': dq, 'dl': dl, 'du': du, 'dP': dP, 'dA': dA}
+
+
+def forward_derivative(P, q, A, l, u, x, y, dP=None, dq=None, dA=None, dl=None,
+                       du=None, delta=1e-8, refine_iters=8):
+    """Forward-mode sensitivities of the solution map.
+
+    Given data perturbation directions (dP, dq, dA, dl, du), returns
+    ``(dx, dyl, dyu)`` - the directional derivatives of the primal solution
+    and of the split dual multipliers ``yl = max(-y, 0)``, ``yu = max(y, 0)``
+    (the contract of the reference's not-yet-implemented
+    ``forward_derivative``, reference tests/derivative_test.py:79-98).
+
+    Same active-set implicit-function machinery as :func:`adjoint_derivative`:
+    solve K [dx; dnu] = -[dP x + dq + dA' nu_act ; (dA x - db)_act].
+    """
+    P = sp.csc_matrix(P)
+    P_full = sp.triu(P, format='csc')
+    P_full = (P_full + P_full.T - sp.diags(P_full.diagonal())).tocsc()
+    A = sp.csc_matrix(A)
+    n = P_full.shape[0]
+    m = A.shape[0]
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64) if m else np.zeros(0)
+
+    dP_m = np.zeros((n, n)) if dP is None else np.asarray(sp.csc_matrix(dP).todense())
+    dP_m = np.triu(dP_m) + np.triu(dP_m, 1).T  # symmetric perturbation
+    dq_v = np.zeros(n) if dq is None else np.asarray(dq, np.float64)
+    dA_m = np.zeros((m, n)) if dA is None else np.asarray(sp.csc_matrix(dA).todense())
+    dl_v = np.zeros(m) if dl is None else np.asarray(dl, np.float64)
+    du_v = np.zeros(m) if du is None else np.asarray(du, np.float64)
+
+    if m:
+        z = A @ x
+        low = (z - np.asarray(l, np.float64)) < -y
+        upp = (np.asarray(u, np.float64) - z) < y
+        active = low | upp
+        idx = np.where(active)[0]
+    else:
+        low = upp = np.zeros(0, dtype=bool)
+        idx = np.zeros(0, dtype=int)
+
+    A_act = A[idx] if m else sp.csc_matrix((0, n))
+    k = A_act.shape[0]
+    db = np.where(low, dl_v, np.where(upp, du_v, 0.0))[idx] if m else np.zeros(0)
+
+    r1 = dP_m @ x + dq_v + (dA_m.T @ y if m else 0.0)
+    r2 = (dA_m[idx] @ x - db) if k else np.zeros(0)
+
+    K = sp.bmat(
+        [
+            [P_full + delta * sp.eye(n), A_act.T if k else None],
+            [A_act if k else None, -delta * sp.eye(k) if k else None],
+        ],
+        format='csc',
+    )
+    solve = spla.splu(K).solve
+    rhs = -np.concatenate([r1, r2])
+    sol = solve(rhs)
+    for _ in range(refine_iters):
+        res = rhs - np.concatenate(
+            [
+                P_full @ sol[:n] + (A_act.T @ sol[n:] if k else 0.0),
+                A_act @ sol[:n] if k else np.zeros(0),
+            ]
+        )
+        sol = sol + solve(res)
+
+    dx = sol[:n]
+    dnu = np.zeros(m)
+    dnu[idx] = sol[n:]
+    dyu = np.where(upp, dnu, 0.0)
+    dyl = np.where(low, -dnu, 0.0)
+    return dx, dyl, dyu

@@ -149,3 +149,57 @@ def test_derivative_dy_seed():
         return 0.5 * np.sum((r.x - true_x) ** 2) + 0.5 * np.sum((r.y - true_y) ** 2)
 
     npt.assert_allclose(dq, approx_fprime(q, f, grad_precision), rtol=rel_tol, atol=abs_tol)
+
+
+def test_forward_derivative_dq():
+    """Forward-mode sensitivities: the reference SKIPS these
+    (reference derivative_test.py:98 'forward derivatives not implemented
+    yet'); implemented and validated here."""
+    npr.seed(7)
+    n, m = 8, 5
+    P, q, A, l, u, true_x = get_prob(n=n, m=m)
+
+    def solve_model(qv):
+        model = osqp.OSQP(algebra='numpy')
+        model.setup(P, qv, A, l, u, eps_abs=1e-11, eps_rel=1e-11,
+                    max_iter=500000, polishing=True, verbose=False)
+        return model, model.solve()
+
+    model, res = solve_model(q)
+    dq = npr.randn(n)
+    dx, dyl, dyu = model.forward_derivative(dq=dq)
+
+    eps = 1e-6
+    _, rp = solve_model(q + eps * dq)
+    _, rm = solve_model(q - eps * dq)
+    npt.assert_allclose(dx, (rp.x - rm.x) / (2 * eps), rtol=5e-3, atol=5e-3)
+    npt.assert_allclose(
+        dyu, (np.maximum(rp.y, 0) - np.maximum(rm.y, 0)) / (2 * eps),
+        rtol=5e-3, atol=5e-3,
+    )
+    npt.assert_allclose(
+        dyl, (np.maximum(-rp.y, 0) - np.maximum(-rm.y, 0)) / (2 * eps),
+        rtol=5e-3, atol=5e-3,
+    )
+
+
+def test_forward_derivative_bounds_and_mats():
+    npr.seed(8)
+    n, m = 6, 4
+    P, q, A, l, u, true_x = get_prob(n=n, m=m)
+
+    def solve_model(lv=None, uv=None):
+        model = osqp.OSQP(algebra='numpy')
+        model.setup(P, q, A, l if lv is None else lv, u if uv is None else uv,
+                    eps_abs=1e-11, eps_rel=1e-11, max_iter=500000,
+                    polishing=True, verbose=False)
+        return model, model.solve()
+
+    model, res = solve_model()
+    dl = npr.randn(m)
+    du = npr.randn(m)
+    dx, dyl, dyu = model.forward_derivative(dl=dl, du=du)
+    eps = 1e-6
+    _, rp = solve_model(lv=l + eps * dl, uv=u + eps * du)
+    _, rm = solve_model(lv=l - eps * dl, uv=u - eps * du)
+    npt.assert_allclose(dx, (rp.x - rm.x) / (2 * eps), rtol=5e-3, atol=5e-3)
