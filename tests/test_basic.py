@@ -1,7 +1,10 @@
 """Basic solve/update/settings behavior (coverage model:
-reference src/osqp/tests/basic_test.py)."""
+reference src/osqp/tests/basic_test.py).
 
-from types import SimpleNamespace
+Organized as a parametrized update matrix: each case stages data updates on a
+warm solver and checks the re-solve against the golden fixture for the
+equivalent fresh problem.
+"""
 
 import numpy as np
 import numpy.testing as nptest
@@ -12,132 +15,116 @@ import osqp_tpu as osqp
 import problems
 from utils import load_high_accuracy
 
-
-@pytest.fixture
-def self(algebra, solver_type, atol, rtol, decimal_tol):
-    ns = SimpleNamespace()
-    ns.P, ns.q, ns.A, ns.l, ns.u = problems.basic_qp()
-    ns.n = ns.P.shape[0]
-    ns.m = ns.A.shape[0]
-    ns.opts = {
-        'verbose': False,
-        'eps_abs': 1e-09,
-        'eps_rel': 1e-09,
-        'max_iter': 2500,
-        'rho': 0.1,
-        'adaptive_rho': False,
-        'polishing': False,
-        'check_termination': 1,
-        'warm_starting': True,
-        'solver_type': solver_type,
-    }
-    ns.model = osqp.OSQP(algebra=algebra)
-    ns.model.setup(P=ns.P, q=ns.q, A=ns.A, l=ns.l, u=ns.u, **ns.opts)
-    ns.atol = atol
-    ns.rtol = rtol
-    ns.decimal_tol = decimal_tol
-    return ns
+BASE_OPTS = dict(
+    verbose=False,
+    eps_abs=1e-09,
+    eps_rel=1e-09,
+    max_iter=2500,
+    rho=0.1,
+    adaptive_rho=False,
+    polishing=False,
+    check_termination=1,
+    warm_starting=True,
+)
 
 
-def test_basic_QP(self):
-    res = self.model.solve()
-    x_sol, y_sol, obj_sol = load_high_accuracy('test_basic_QP')
-    nptest.assert_allclose(res.x, x_sol, rtol=self.rtol, atol=self.atol)
-    nptest.assert_allclose(res.y, y_sol, rtol=self.rtol, atol=self.atol)
-    nptest.assert_almost_equal(res.info.obj_val, obj_sol, decimal=self.decimal_tol)
+def make_model(algebra, solver_type, **extra):
+    P, q, A, l, u = problems.basic_qp()
+    model = osqp.OSQP(algebra=algebra)
+    opts = dict(BASE_OPTS, solver_type=solver_type, **extra)
+    model.setup(P=P, q=q, A=A, l=l, u=u, **opts)
+    return model
 
 
-def test_update_q(self):
-    q_new = np.array([10.0, 20.0])
-    self.model.update(q=q_new)
-    res = self.model.solve()
-    x_sol, y_sol, obj_sol = load_high_accuracy('test_update_q')
-    nptest.assert_allclose(res.x, x_sol, rtol=self.rtol, atol=self.atol)
-    nptest.assert_allclose(res.y, y_sol, rtol=self.rtol, atol=self.atol)
-    nptest.assert_almost_equal(res.info.obj_val, obj_sol, decimal=self.decimal_tol)
+def assert_golden(res, golden, atol, rtol, decimal_tol):
+    x_sol, y_sol, obj_sol = load_high_accuracy(golden)
+    nptest.assert_allclose(res.x, x_sol, rtol=rtol, atol=atol)
+    nptest.assert_allclose(res.y, y_sol, rtol=rtol, atol=atol)
+    nptest.assert_almost_equal(res.info.obj_val, obj_sol, decimal=decimal_tol)
 
 
-def test_update_l(self):
-    self.model.update(l=-50 * np.ones(self.m))
-    res = self.model.solve()
-    x_sol, y_sol, obj_sol = load_high_accuracy('test_update_l')
-    nptest.assert_allclose(res.x, x_sol, rtol=self.rtol, atol=self.atol)
-    nptest.assert_allclose(res.y, y_sol, rtol=self.rtol, atol=self.atol)
-    nptest.assert_almost_equal(res.info.obj_val, obj_sol, decimal=self.decimal_tol)
+UPDATE_CASES = {
+    'test_basic_QP': {},
+    'test_update_q': dict(q=np.array([10.0, 20.0])),
+    'test_update_l': dict(l=-50 * np.ones(5)),
+    'test_update_u': dict(u=1000 * np.ones(5)),
+    'test_update_bounds': dict(l=-100 * np.ones(5), u=1000 * np.ones(5)),
+}
 
 
-def test_update_u(self):
-    self.model.update(u=1000 * np.ones(self.m))
-    res = self.model.solve()
-    x_sol, y_sol, obj_sol = load_high_accuracy('test_update_u')
-    nptest.assert_allclose(res.x, x_sol, rtol=self.rtol, atol=self.atol)
-    nptest.assert_allclose(res.y, y_sol, rtol=self.rtol, atol=self.atol)
-    nptest.assert_almost_equal(res.info.obj_val, obj_sol, decimal=self.decimal_tol)
+@pytest.mark.parametrize('golden', sorted(UPDATE_CASES))
+def test_solve_and_vector_updates(golden, algebra, solver_type, atol, rtol, decimal_tol):
+    model = make_model(algebra, solver_type)
+    updates = UPDATE_CASES[golden]
+    if updates:
+        model.update(**updates)
+    assert_golden(model.solve(), golden, atol, rtol, decimal_tol)
 
 
-def test_update_bounds(self):
-    self.model.update(l=-100 * np.ones(self.m), u=1000 * np.ones(self.m))
-    res = self.model.solve()
-    x_sol, y_sol, obj_sol = load_high_accuracy('test_update_bounds')
-    nptest.assert_allclose(res.x, x_sol, rtol=self.rtol, atol=self.atol)
-    nptest.assert_allclose(res.y, y_sol, rtol=self.rtol, atol=self.atol)
-    nptest.assert_almost_equal(res.info.obj_val, obj_sol, decimal=self.decimal_tol)
+def test_update_max_iter(algebra, solver_type, atol, rtol, decimal_tol):
+    model = make_model(algebra, solver_type)
+    model.update_settings(max_iter=80)
+    res = model.solve()
+    assert res.info.status_val == model.constant('OSQP_MAX_ITER_REACHED')
 
 
-def test_update_max_iter(self):
-    self.model.update_settings(max_iter=80)
-    res = self.model.solve()
-    assert res.info.status_val == self.model.constant('OSQP_MAX_ITER_REACHED')
+def test_update_check_termination(algebra, solver_type, atol, rtol, decimal_tol):
+    model = make_model(algebra, solver_type)
+    model.update_settings(check_termination=0)
+    res = model.solve()
+    # no in-loop checks -> runs the full budget exactly
+    assert res.info.iter == BASE_OPTS['max_iter']
 
 
-def test_update_check_termination(self):
-    self.model.update_settings(check_termination=0)
-    res = self.model.solve()
-    assert res.info.iter == self.opts['max_iter']
+def test_update_rho_determinism(algebra, solver_type, atol, rtol, decimal_tol):
+    """update_settings(rho) must reproduce the fresh-setup trajectory exactly
+    (reference basic_test.py:119-131)."""
+    res_default = make_model(algebra, solver_type).solve()
+
+    model = make_model(algebra, solver_type, rho=0.7)
+    model.update_settings(rho=BASE_OPTS['rho'])
+    res_updated = model.solve()
+
+    assert res_default.info.iter == res_updated.info.iter
 
 
-def test_update_rho(self):
-    res_default = self.model.solve()
-
-    opts = dict(self.opts)
-    opts['rho'] = 0.7
-    model = osqp.OSQP(algebra=self.model.algebra)
-    model.setup(P=self.P, q=self.q, A=self.A, l=self.l, u=self.u, **opts)
-    model.update_settings(rho=self.opts['rho'])
-    res_updated_rho = model.solve()
-
-    # rho-update determinism (reference basic_test.py:119-131)
-    assert res_default.info.iter == res_updated_rho.info.iter
-
-
-def test_upper_triangular_P(self):
+def test_upper_triangular_P(algebra, solver_type, atol, rtol, decimal_tol):
     from scipy import sparse
 
-    res_default = self.model.solve()
-    P_triu = sparse.triu(self.P, format='csc')
-    model = osqp.OSQP(algebra=self.model.algebra)
-    model.setup(P=P_triu, q=self.q, A=self.A, l=self.l, u=self.u, **self.opts)
+    res_full = make_model(algebra, solver_type).solve()
+
+    P, q, A, l, u = problems.basic_qp()
+    model = osqp.OSQP(algebra=algebra)
+    model.setup(
+        P=sparse.triu(P, format='csc'), q=q, A=A, l=l, u=u,
+        solver_type=solver_type, **BASE_OPTS,
+    )
     res_triu = model.solve()
 
-    nptest.assert_allclose(res_default.x, res_triu.x, rtol=self.rtol, atol=self.atol)
-    nptest.assert_allclose(res_default.y, res_triu.y, rtol=self.rtol, atol=self.atol)
+    nptest.assert_allclose(res_full.x, res_triu.x, rtol=rtol, atol=atol)
+    nptest.assert_allclose(res_full.y, res_triu.y, rtol=rtol, atol=atol)
     nptest.assert_almost_equal(
-        res_default.info.obj_val, res_triu.info.obj_val, decimal=self.decimal_tol
+        res_full.info.obj_val, res_triu.info.obj_val, decimal=decimal_tol
     )
 
 
-def test_update_invalid(self):
+def test_unknown_setting_rejected(algebra, solver_type, atol, rtol, decimal_tol):
+    model = make_model(algebra, solver_type)
     with pytest.raises(ValueError):
-        self.model.update_settings(foo=42)
+        model.update_settings(foo=42)
 
 
-def test_solve_raise_error(self):
-    res = self.model.solve(raise_error=True)
-    assert res.info.status_val == self.model.constant('OSQP_SOLVED')
+def test_solve_raise_error(algebra, solver_type, atol, rtol, decimal_tol):
+    res = make_model(algebra, solver_type).solve(raise_error=True)
+    assert res.info.status_val == model_status_solved()
 
 
-def test_warm_starting_obeyed(self):
-    res1 = self.model.solve()
-    # second solve warm-starts from the optimum -> far fewer iterations
-    res2 = self.model.solve()
-    assert res2.info.iter <= res1.info.iter
+def model_status_solved():
+    return int(osqp.SolverStatus.OSQP_SOLVED)
+
+
+def test_warm_start_reuses_iterates(algebra, solver_type, atol, rtol, decimal_tol):
+    model = make_model(algebra, solver_type)
+    first = model.solve()
+    second = model.solve()  # warm-started from the optimum
+    assert second.info.iter <= first.info.iter
