@@ -1,11 +1,13 @@
-"""Golden-solution loader (pattern from reference src/osqp/tests/utils.py)."""
+"""Golden-solution fixtures access."""
 
-import os.path
+import pathlib
 
 import numpy as np
 
+SOLUTIONS_DIR = pathlib.Path(__file__).parent / 'solutions'
 
-def load_high_accuracy(test_name):
-    npz = os.path.join(os.path.dirname(__file__), 'solutions', f'{test_name}.npz')
-    npzfile = np.load(npz)
-    return npzfile['x_val'], npzfile['y_val'], npzfile['obj']
+
+def load_high_accuracy(name):
+    """Return (x, y, obj) for a named golden fixture."""
+    with np.load(SOLUTIONS_DIR / f'{name}.npz') as data:
+        return data['x_val'], data['y_val'], data['obj']
