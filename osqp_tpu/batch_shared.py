@@ -42,7 +42,6 @@ from jax import lax
 
 from .constants import SolverStatus, status_string
 from .solver import core
-from .batch_fused import _batched_check
 
 _UNSOLVED = int(SolverStatus.OSQP_UNSOLVED)
 _MAX_ITER = int(SolverStatus.OSQP_MAX_ITER_REACHED)
@@ -76,6 +75,125 @@ class SharedState(NamedTuple):
     dua_res: jax.Array
     obj_val: jax.Array
     dual_obj_val: jax.Array
+
+
+def _batch_check_shared(P, A, Q, L_b, U_b, scal, settings, X, Z, Y, dX, dY,
+                        approximate, mm):
+    """Batch-level termination check for the shared engine: same math as
+    core.termination_status (ref _osqp.py:705-878, 998-1077) but expressed as
+    three dense matmuls + columnwise reductions instead of vmapped
+    per-instance matvecs.  Equivalence is pinned by
+    tests/test_shared_batch.py::test_batch_check_equivalence."""
+    n, B = X.shape
+    m = Z.shape[0]
+    dtype = X.dtype
+    MIN_SCALING = 1e-4
+    OSQP_INFTY = 1e30
+
+    factor = jnp.where(approximate, 10.0, 1.0)
+    eps_abs = settings.eps_abs * factor
+    eps_rel = settings.eps_rel * factor
+    eps_pinf = settings.eps_prim_inf * factor
+    eps_dinf = settings.eps_dual_inf * factor
+    unscaled = ~settings.scaled_termination
+
+    PX = mm(P, X)
+    AX = mm(A, X) if m else jnp.zeros((0, B), dtype)
+    AtY = mm(A.T, Y) if m else jnp.zeros((n, B), dtype)
+
+    def colmax(V):
+        return jnp.max(jnp.abs(V), axis=0) if V.shape[0] else jnp.zeros((B,), dtype)
+
+    Einv = scal.Einv[:, None]
+    Dinv = scal.Dinv[:, None]
+
+    # primal residual
+    pri_vec = AX - Z
+    pri_res = jnp.where(unscaled, colmax(Einv * pri_vec), colmax(pri_vec)) if m else jnp.zeros((B,), dtype)
+
+    # dual residual
+    dua_vec = PX + Q + AtY
+    dua_res = jnp.where(unscaled, scal.cinv * colmax(Dinv * dua_vec), colmax(dua_vec))
+
+    # objective + negative-curvature guard
+    quad = 0.5 * jnp.sum(X * PX, axis=0)
+    obj = (quad + jnp.sum(Q * X, axis=0)) * scal.cinv
+    noncvx_neg = (quad * scal.cinv) < (-1e-12 * jnp.maximum(1.0, jnp.sum(X * X, axis=0)))
+    pri_res = jnp.where(noncvx_neg, 2 * OSQP_INFTY, pri_res)
+
+    # dual objective (loose-bound contributions dropped)
+    if m:
+        Yu = scal.cinv * (scal.E[:, None] * Y)
+        Lu = Einv * L_b
+        Uu = Einv * U_b
+        sup = jnp.sum(jnp.where(Uu < OSQP_INFTY * MIN_SCALING, Uu * jnp.maximum(Yu, 0), 0.0), axis=0) +               jnp.sum(jnp.where(Lu > -OSQP_INFTY * MIN_SCALING, Lu * jnp.minimum(Yu, 0), 0.0), axis=0)
+    else:
+        sup = jnp.zeros((B,), dtype)
+    dual_obj = -quad * scal.cinv - sup
+
+    # tolerances
+    if m:
+        Ax_t = jnp.where(unscaled, colmax(Einv * AX), colmax(AX))
+        z_t = jnp.where(unscaled, colmax(Einv * Z), colmax(Z))
+        eps_pri = eps_abs + eps_rel * jnp.maximum(Ax_t, z_t)
+    else:
+        eps_pri = jnp.full((B,), eps_abs, dtype)
+
+    def dscale(V):
+        return jnp.where(unscaled, colmax(Dinv * V), colmax(V))
+
+    scale_d = jnp.where(unscaled, scal.cinv, jnp.ones((), dtype))
+    q_t = dscale(Q)
+    eps_dua = eps_abs + eps_rel * scale_d * jnp.maximum(jnp.maximum(dscale(AtY), dscale(PX)), q_t)
+
+    noncvx = (pri_res > OSQP_INFTY) | (dua_res > OSQP_INFTY)
+    pri_check = (pri_res < eps_pri) if m else jnp.ones((B,), bool)
+    dua_check = dua_res < eps_dua
+
+    # primal infeasibility (ref _osqp.py:796-820)
+    if m:
+        norm_dY = jnp.where(unscaled, colmax(scal.E[:, None] * dY), colmax(dY))
+        lhs = jnp.sum(U_b * jnp.maximum(dY, 0) + L_b * jnp.minimum(dY, 0), axis=0)
+        AtdY = mm(A.T, dY)
+        AtdY_n = jnp.where(unscaled, colmax(Dinv * AtdY), colmax(AtdY))
+        pinf = (norm_dY > eps_pinf) & (lhs < -eps_pinf * norm_dY) & (AtdY_n < eps_pinf * norm_dY)
+    else:
+        pinf = jnp.zeros((B,), bool)
+    pinf = jnp.where(pri_check, False, pinf)
+
+    # dual infeasibility (ref _osqp.py:822-878)
+    norm_dX = jnp.where(unscaled, colmax(scal.D[:, None] * dX), colmax(dX))
+    cost_scale = jnp.where(unscaled, scal.c, jnp.ones((), dtype))
+    dinf = norm_dX > eps_dinf
+    dinf &= jnp.sum(Q * dX, axis=0) < (-cost_scale * eps_dinf * norm_dX)
+    PdX = mm(P, dX)
+    PdX_n = jnp.where(unscaled, colmax(Dinv * PdX), colmax(PdX))
+    dinf &= PdX_n < cost_scale * eps_dinf * norm_dX
+    if m:
+        AdX = mm(A, dX)
+        AdX = jnp.where(unscaled, Einv * AdX, AdX)
+        u_fin = U_b < OSQP_INFTY * MIN_SCALING
+        l_fin = L_b > -OSQP_INFTY * MIN_SCALING
+        bad = (u_fin & (AdX > eps_dinf * norm_dX[None])) | (l_fin & (AdX < -eps_dinf * norm_dX[None]))
+        dinf &= ~jnp.any(bad, axis=0)
+    dinf = jnp.where(dua_check, False, dinf)
+
+    solved_code = jnp.where(approximate, 2, 1)
+    pinf_code = jnp.where(approximate, 4, 3)
+    dinf_code = jnp.where(approximate, 6, 5)
+
+    status = jnp.where(
+        noncvx, 9,
+        jnp.where(pri_check & dua_check, solved_code,
+                  jnp.where(pinf, pinf_code, jnp.where(dinf, dinf_code, _UNSOLVED))),
+    ).astype(jnp.int32)
+
+    obj = jnp.where(
+        status == 9, jnp.nan,
+        jnp.where(status == pinf_code, OSQP_INFTY,
+                  jnp.where(status == dinf_code, -OSQP_INFTY, obj)),
+    )
+    return status, pri_res, dua_res, obj, dual_obj
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -142,16 +260,10 @@ def shared_solve(
         Yn = Y + dYn
         return (Xn, Zn, Yn, Xn - X, dYn, Minv, M, rho_vec, rho_inv), None
 
-    # batched termination using the exact core semantics; shared data mapped
-    # with in_axes=None
     def check(X, Z, Y, dX, dY, approximate):
-        def one(q, l, u, x, z, y, dx, dy):
-            data1 = core.QPData(P=P, q=q, A=A, l=l, u=u)
-            st1 = SimpleNamespace(x=x, z=z, y=y, delta_x=dx, delta_y=dy)
-            return core.termination_status(data1, scal, st1, settings, approximate)
-
-        return jax.vmap(one, in_axes=(1, 1, 1, 1, 1, 1, 1, 1))(
-            Q, L_b, U_b, X, Z, Y, dX, dY
+        return _batch_check_shared(
+            P, A, Q, L_b, U_b, scal, settings, X, Z, Y, dX, dY,
+            jnp.asarray(approximate), mm,
         )
 
     def cond(st: SharedState):

@@ -101,3 +101,46 @@ def test_batched_osqp_auto_shared_engine():
              verbose=False, eps_abs=1e-4, eps_rel=1e-4)
     rv = sv.solve()
     np.testing.assert_allclose(r.x, rv.x, rtol=1e-2, atol=5e-3)
+
+
+def test_batch_check_equivalence():
+    """_batch_check_shared must reproduce core.termination_status exactly."""
+    import functools
+    from types import SimpleNamespace
+
+    import jax
+    from osqp_tpu.solver import core
+    from osqp_tpu.batch_shared import _batch_check_shared
+
+    rng = np.random.default_rng(5)
+    B, n, m = 12, 9, 13
+    P, A, q, l, u = _problems(B, n, m, seed=5)
+    f64 = jnp.float64
+    host = OracleSettings()
+    stg = default_core_settings(f64, eps_abs=1e-3, eps_rel=1e-3)
+    P_s, A_s, Q, L_t, U_t, scal_t, rho0, Minv, M, rho_vec = shared_setup(
+        P, A, q, l, u, host, dtype=f64
+    )
+    # random-ish states including near-converged and divergent ones
+    X = jnp.asarray(rng.standard_normal((n, B)) * 0.1, f64)
+    Z = jnp.clip(A_s @ X + jnp.asarray(0.01 * rng.standard_normal((m, B)), f64), L_t, U_t)
+    Y = jnp.asarray(rng.standard_normal((m, B)) * 0.05, f64)
+    dX = jnp.asarray(rng.standard_normal((n, B)) * 1e-6, f64)
+    dY = jnp.asarray(rng.standard_normal((m, B)) * 1e-6, f64)
+
+    mm = functools.partial(jnp.matmul, preferred_element_type=f64)
+    for approx in (False, True):
+        got = _batch_check_shared(
+            P_s, A_s, Q, L_t, U_t, scal_t, stg, X, Z, Y, dX, dY,
+            jnp.asarray(approx), mm,
+        )
+
+        def one(qv, lv, uv, x, z, y, dx, dy):
+            data1 = core.QPData(P=P_s, q=qv, A=A_s, l=lv, u=uv)
+            st1 = SimpleNamespace(x=x, z=z, y=y, delta_x=dx, delta_y=dy)
+            return core.termination_status(data1, scal_t, st1, stg, approx)
+
+        want = jax.vmap(one, in_axes=(1,) * 8)(Q, L_t, U_t, X, Z, Y, dX, dY)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+        for gi, wi in zip(got[1:], want[1:]):
+            np.testing.assert_allclose(np.asarray(gi), np.asarray(wi), rtol=1e-12, atol=1e-12)
