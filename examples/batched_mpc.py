@@ -1,5 +1,11 @@
 """TPU-native: solve thousands of same-structure QPs per chip (the batched
-MPC/scenario workload) with the vmapped ADMM solver."""
+MPC/scenario workload).
+
+Passing UNBATCHED P and A (the condensed-MPC scenario: one plant, many
+initial states) auto-selects the shared-structure engine, where every
+ADMM iteration is a handful of dense MXU matmuls over the whole batch
+(~240k solves/s on one TPU v5e chip).  Batched P/A select the general
+vmapped engine instead."""
 
 import numpy as np
 
@@ -7,17 +13,18 @@ from osqp_tpu.batch import BatchedOSQP
 
 B, n, m = 512, 32, 48
 rng = np.random.default_rng(0)
-L = rng.standard_normal((B, n, n)) / np.sqrt(n)
-P = np.einsum('bij,bkj->bik', L, L) + 0.1 * np.eye(n)
-q = rng.standard_normal((B, n))
-A = rng.standard_normal((B, m, n)) / np.sqrt(n)
+L = rng.standard_normal((n, n)) / np.sqrt(n)
+P = L @ L.T + 0.1 * np.eye(n)          # shared plant
+A = rng.standard_normal((m, n)) / np.sqrt(n)
+q = rng.standard_normal((B, n))        # per-instance costs
 x0 = rng.standard_normal((B, n))
 s0 = rng.random((B, m)) + 0.1
-u = np.einsum('bmn,bn->bm', A, x0) + s0
+u = x0 @ A.T + s0                      # per-instance bounds
 l = u - 2 * s0
 
 solver = BatchedOSQP()
 solver.setup(P, q, A, l, u, eps_abs=1e-4, eps_rel=1e-4)
+print('engine:', solver._engine)
 res = solver.solve()
 print(f'solved {int((res.info.status_val == 1).sum())}/{B} instances, '
       f'mean iters {res.info.iter.mean():.0f}, '
