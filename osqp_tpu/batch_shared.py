@@ -30,6 +30,7 @@ Semantics notes vs the per-instance path:
 from __future__ import annotations
 
 import functools
+import os
 import time
 from types import SimpleNamespace
 from typing import NamedTuple
@@ -41,6 +42,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .constants import SolverStatus, status_string
+from .ops.shared_epoch import shared_epoch_pallas
 from .solver import core
 
 _UNSOLVED = int(SolverStatus.OSQP_UNSOLVED)
@@ -75,6 +77,40 @@ class SharedState(NamedTuple):
     dua_res: jax.Array
     obj_val: jax.Array
     dual_obj_val: jax.Array
+
+
+def _round_up(x: int, k: int) -> int:
+    return -(-x // k) * k
+
+
+def _fused_epoch_mode(dtype, n: int, m: int, B: int):
+    """Trace-time dispatch for the Pallas fused-epoch kernel.
+
+    ``OSQP_TPU_FUSED_SHARED``: ``auto`` (default; on for TPU+float32 when the
+    shared matrices fit VMEM), ``0`` (off), ``interpret`` (Pallas interpreter,
+    any backend — used by the CPU equivalence tests).
+    """
+    env = os.environ.get('OSQP_TPU_FUSED_SHARED', 'auto')
+    if env == '0' or m == 0 or B == 0:
+        return None
+    if env == 'interpret':
+        return 'interpret'
+    if dtype != jnp.float32 or jax.default_backend() != 'tpu':
+        return None
+    n8, m8 = _round_up(n, 8), _round_up(m, 8)
+    shared_bytes = (2 * n8 * n8 + 2 * m8 * n8 + 2 * m8) * 4
+    if shared_bytes + 21 * max(n8, m8) * 128 * 4 > 12 * 2**20:
+        return None
+    return 'tpu'
+
+
+def _pad2(V, r, c):
+    """Zero-pad a 2-D array to (r, c)."""
+    return jnp.pad(V, ((0, r - V.shape[0]), (0, c - V.shape[1])))
+
+
+def _pad1(v, r, value=0.0):
+    return jnp.pad(v, (0, r - v.shape[0]), constant_values=value)
 
 
 def _batch_check_shared(P, A, Q, L_b, U_b, scal, settings, X, Z, Y, dX, dY,
@@ -196,7 +232,6 @@ def _batch_check_shared(P, A, Q, L_b, U_b, scal, settings, X, Z, Y, dX, dY,
     return status, pri_res, dua_res, obj, dual_obj
 
 
-@functools.partial(jax.jit, static_argnames=())
 def shared_solve(
     P: jax.Array,  # (n, n) scaled shared
     A: jax.Array,  # (m, n) scaled shared
@@ -213,9 +248,49 @@ def shared_solve(
     Z0: jax.Array,
     Y0: jax.Array,
 ):
-    n, B = Q.shape
-    m = A.shape[0]
+    fused = _fused_epoch_mode(Q.dtype, Q.shape[0], A.shape[0], Q.shape[1])
+    return _shared_solve_impl(
+        P, A, Q, L_b, U_b, scal, settings, rho0, Minv, M, rho_vec,
+        X0, Z0, Y0, fused=fused,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=('fused',))
+def _shared_solve_impl(
+    P, A, Q, L_b, U_b, scal, settings, rho0, Minv, M, rho_vec,
+    X0, Z0, Y0, *, fused,
+):
+    n0, B0 = Q.shape
+    m0 = A.shape[0]
     dtype = Q.dtype
+    if fused is not None:
+        # Pad once per solve (features to sublane multiples, batch to lane
+        # multiples) so every epoch runs the Pallas kernel without repacking.
+        # Padded columns have Q=L=U=X=Z=Y=0: they stay identically zero
+        # through the iteration, register as solved at the first termination
+        # check, and are sliced away before returning.
+        n = _round_up(n0, 8)
+        m = _round_up(m0, 8)
+        B = _round_up(B0, 128)
+        P = _pad2(P, n, n)
+        A = _pad2(A, m, n)
+        Q = _pad2(Q, n, B)
+        L_b = _pad2(L_b, m, B)
+        U_b = _pad2(U_b, m, B)
+        Minv = _pad2(Minv, n, n)
+        M = _pad2(M, n, n)
+        rho_vec = _pad1(rho_vec, m)
+        X0 = _pad2(X0, n, B)
+        Z0 = _pad2(Z0, m, B)
+        Y0 = _pad2(Y0, m, B)
+        scal = core.Scaling(
+            D=_pad1(scal.D, n, 1.0), Dinv=_pad1(scal.Dinv, n, 1.0),
+            E=_pad1(scal.E, m, 1.0), Einv=_pad1(scal.Einv, m, 1.0),
+            c=scal.c, cinv=scal.cinv,
+        )
+        At = A.T
+    else:
+        n, m, B = n0, m0, B0
     sigma = settings.sigma
     alpha = settings.alpha
 
@@ -271,9 +346,20 @@ def shared_solve(
 
     def body(st: SharedState):
         this_epoch = jnp.minimum(epoch_len, settings.iter_cap - st.it)
-        carry = (st.X, st.Z, st.Y, st.dX, st.dY, st.Minv, st.M, st.rho_vec, st.rho_inv)
-        carry = lax.fori_loop(0, this_epoch, lambda k, c: iteration(c, None)[0], carry)
-        X, Z, Y, dX, dY, *_ = carry
+        if fused is not None:
+            X, Z, Y, dX, dY = shared_epoch_pallas(
+                A, At, st.Minv, st.M, st.rho_vec, st.rho_inv,
+                Q, L_b, U_b, st.X, st.Z, st.Y,
+                sigma, alpha, this_epoch,
+                interpret=(fused == 'interpret'),
+            )
+        else:
+            carry = (st.X, st.Z, st.Y, st.dX, st.dY, st.Minv, st.M,
+                     st.rho_vec, st.rho_inv)
+            carry = lax.fori_loop(
+                0, this_epoch, lambda k, c: iteration(c, None)[0], carry
+            )
+            X, Z, Y, dX, dY, *_ = carry
         it = st.it + this_epoch
         active = st.status == _UNSOLVED
         st = st._replace(
@@ -315,8 +401,11 @@ def shared_solve(
                 data1 = core.QPData(P=P, q=q, A=A, l=q[:1], u=q[:1])  # l/u unused
                 return core.rho_estimate_fn(data1, x, z, y, st.rho)
 
-            ests = jax.vmap(est, in_axes=(1, 1, 1, 1))(Q, st.X, st.Z, st.Y)
-            still = st.status == _UNSOLVED
+            # real columns only (padded columns would bias the median)
+            ests = jax.vmap(est, in_axes=(1, 1, 1, 1))(
+                Q[:, :B0], st.X[:, :B0], st.Z[:, :B0], st.Y[:, :B0]
+            )
+            still = st.status[:B0] == _UNSOLVED
             # median over active instances (inactive -> current rho)
             ests = jnp.where(still, ests, st.rho)
             rho_new = jnp.median(ests)
@@ -376,14 +465,15 @@ def shared_solve(
     dual_cert = jnp.where(unscaled, scal.D[:, None] * st.fdX, st.fdX)
 
     return dict(
-        x=X_out.T, y=Y_out.T,
-        prim_inf_cert=prim_cert.T, dual_inf_cert=dual_cert.T,
-        status=st.status, iters=st.iters_done,
-        pri_res=st.pri_res, dua_res=st.dua_res,
-        obj_val=st.obj_val, dual_obj_val=st.dual_obj_val,
-        rho=st.rho, rho_vec=st.rho_vec, Minv=st.Minv, M=st.M,
+        x=X_out[:n0, :B0].T, y=Y_out[:m0, :B0].T,
+        prim_inf_cert=prim_cert[:m0, :B0].T, dual_inf_cert=dual_cert[:n0, :B0].T,
+        status=st.status[:B0], iters=st.iters_done[:B0],
+        pri_res=st.pri_res[:B0], dua_res=st.dua_res[:B0],
+        obj_val=st.obj_val[:B0], dual_obj_val=st.dual_obj_val[:B0],
+        rho=st.rho, rho_vec=st.rho_vec[:m0],
+        Minv=st.Minv[:n0, :n0], M=st.M[:n0, :n0],
         rho_updates=st.rho_updates,
-        X=st.X, Z=st.Z, Y=st.Y,
+        X=st.X[:n0, :B0], Z=st.Z[:m0, :B0], Y=st.Y[:m0, :B0],
     )
 
 

@@ -144,3 +144,34 @@ def test_batch_check_equivalence():
         np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
         for gi, wi in zip(got[1:], want[1:]):
             np.testing.assert_allclose(np.asarray(gi), np.asarray(wi), rtol=1e-12, atol=1e-12)
+
+
+def test_fused_epoch_equivalence(monkeypatch):
+    """The Pallas fused-epoch kernel (interpret mode on CPU) must reproduce
+    the unfused jnp epoch path: identical statuses/iteration counts and
+    near-identical iterates, including batch/feature padding (odd B, n, m)."""
+    B, n, m = 33, 13, 19
+    P, A, q, l, u = _problems(B, n, m, seed=7)
+    f32 = jnp.float32
+    host = OracleSettings(eps_abs=1e-4, eps_rel=1e-4)
+    stg = default_core_settings(f32, eps_abs=1e-4, eps_rel=1e-4)
+    args = shared_setup(P, A, q, l, u, host, dtype=f32)
+    P_s, A_s, Q, L_t, U_t, scal_t, rho0, Minv, M, rho_vec = args
+    X0 = jnp.zeros((n, B), f32)
+    Z0 = jnp.zeros((m, B), f32)
+    Y0 = jnp.zeros((m, B), f32)
+
+    monkeypatch.setenv('OSQP_TPU_FUSED_SHARED', '0')
+    ref = shared_solve(P_s, A_s, Q, L_t, U_t, scal_t, stg, rho0, Minv, M,
+                       rho_vec, X0, Z0, Y0)
+    monkeypatch.setenv('OSQP_TPU_FUSED_SHARED', 'interpret')
+    got = shared_solve(P_s, A_s, Q, L_t, U_t, scal_t, stg, rho0, Minv, M,
+                       rho_vec, X0, Z0, Y0)
+
+    np.testing.assert_array_equal(np.asarray(got['status']), np.asarray(ref['status']))
+    np.testing.assert_array_equal(np.asarray(got['iters']), np.asarray(ref['iters']))
+    assert (np.asarray(got['status']) == 1).all()
+    np.testing.assert_allclose(np.asarray(got['x']), np.asarray(ref['x']),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got['y']), np.asarray(ref['y']),
+                               rtol=1e-4, atol=1e-5)
