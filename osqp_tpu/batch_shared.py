@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .constants import SolverStatus, status_string
-from .ops.shared_epoch import shared_epoch_pallas
+from .ops.shared_epoch import shared_body_pallas
 from .solver import core
 
 _UNSOLVED = int(SolverStatus.OSQP_UNSOLVED)
@@ -55,28 +55,65 @@ _DUAL_INF_INACC = int(SolverStatus.OSQP_DUAL_INFEASIBLE_INACCURATE)
 
 class SharedState(NamedTuple):
     it: jax.Array
-    X: jax.Array  # (n, B)
-    Z: jax.Array  # (m, B)
-    Y: jax.Array  # (m, B)
-    dX: jax.Array
-    dY: jax.Array
+    S: jax.Array  # (n+2m, B) stacked iterates [x; z; y]
+    dX: jax.Array  # (n, B)
+    dY: jax.Array  # (m, B)
     rho: jax.Array  # shared scalar
     rho_vec: jax.Array  # (m,)
     rho_inv: jax.Array  # (m,)
     Minv: jax.Array  # (n, n)
     M: jax.Array  # (n, n)
+    F: jax.Array  # (n+m, n+2m) affine iteration map (see _build_affine)
+    c0: jax.Array  # (n+m, B) affine constant
     status: jax.Array  # (B,)
     iters_done: jax.Array
     rho_updates: jax.Array  # scalar
-    fX: jax.Array
-    fZ: jax.Array
-    fY: jax.Array
+    fS: jax.Array  # (n+2m, B) captured solution iterates
     fdX: jax.Array
     fdY: jax.Array
     pri_res: jax.Array
     dua_res: jax.Array
     obj_val: jax.Array
     dual_obj_val: jax.Array
+
+
+def _build_affine(A, At, Minv, M, rho_vec, rho_inv, sigma, alpha, Q, mm, dtype):
+    """Assemble the affine iteration map.
+
+    One ADMM iteration (ref _osqp.py:644-703) with the explicit-inverse KKT
+    solve (one refinement step folded into ``R2 = 2 Minv - Minv M Minv``,
+    identical operator in exact arithmetic) and the algebraic identity
+    ``z_tilde == A x_tilde`` (the dual recovery ``nu = rho(A x_t - b2)``
+    makes ``z + (nu - y)/rho == A x_t`` for rho > 0) collapses to::
+
+        [x_tilde; pre_proj_z] = F @ [x; z; y] + c0
+        z_new = clip(pre_proj_z, l, u)
+        y_new = y + rho (pre_proj_z - y/rho - z_new)
+        x_new = alpha x_tilde + (1-alpha) x
+
+    which is ONE (n+m, n+2m) matmul per iteration — fully packed on the
+    MXU for typical MPC shapes — instead of five small ones.
+    """
+    n = Minv.shape[0]
+    m = A.shape[0]
+    R2 = 2.0 * Minv - mm(Minv, mm(M, Minv))
+    W1 = mm(R2, At)  # (n, m) = R2 A'
+    AR2 = mm(A, R2)  # (m, n)
+    W2 = mm(A, W1)  # (m, m) = A R2 A'
+    J = rho_vec * rho_inv  # elementwise in {0, 1}; 0 only on padded rows
+    Fx_t = sigma * R2
+    Fz_t = W1 * rho_vec[None, :]
+    Fy_t = -W1 * J[None, :]
+    Fx_p = (sigma * alpha) * AR2
+    Fz_p = alpha * (W2 * rho_vec[None, :]) + (1 - alpha) * jnp.eye(m, dtype=dtype)
+    Fy_p = -alpha * (W2 * J[None, :]) + jnp.diag(rho_inv)
+    F = jnp.concatenate([
+        jnp.concatenate([Fx_t, Fz_t, Fy_t], axis=1),
+        jnp.concatenate([Fx_p, Fz_p, Fy_p], axis=1),
+    ], axis=0)
+    G1 = mm(R2, Q)  # (n, B)
+    c0 = jnp.concatenate([-G1, -alpha * mm(A, G1)], axis=0)
+    return F, c0
 
 
 def _round_up(x: int, k: int) -> int:
@@ -288,9 +325,9 @@ def _shared_solve_impl(
             E=_pad1(scal.E, m, 1.0), Einv=_pad1(scal.Einv, m, 1.0),
             c=scal.c, cinv=scal.cinv,
         )
-        At = A.T
     else:
         n, m, B = n0, m0, B0
+    At = A.T
     sigma = settings.sigma
     alpha = settings.alpha
 
@@ -300,16 +337,24 @@ def _shared_solve_impl(
         (settings.adaptive_rho_interval + epoch_len - 1) // jnp.maximum(epoch_len, 1), 1
     )
 
+    mm = functools.partial(jnp.matmul, preferred_element_type=dtype)
+
+    rho_inv0 = jnp.where(rho_vec > 0, 1.0 / rho_vec, 0.0)
+    F0, c00 = _build_affine(
+        A, A.T, Minv, M, rho_vec, rho_inv0, sigma, alpha, Q, mm, dtype
+    )
+    CH = jnp.concatenate([P, A], axis=0)  # (n+m, n) stacked residual operator
+
     st = SharedState(
-        it=jnp.int32(0), X=X0, Z=Z0, Y=Y0,
+        it=jnp.int32(0),
+        S=jnp.concatenate([X0, Z0, Y0], axis=0),
         dX=jnp.zeros((n, B), dtype), dY=jnp.zeros((m, B), dtype),
-        rho=rho0, rho_vec=rho_vec,
-        rho_inv=jnp.where(rho_vec > 0, 1.0 / rho_vec, 0.0),
-        Minv=Minv, M=M,
+        rho=rho0, rho_vec=rho_vec, rho_inv=rho_inv0,
+        Minv=Minv, M=M, F=F0, c0=c00,
         status=jnp.full((B,), _UNSOLVED, jnp.int32),
         iters_done=jnp.zeros((B,), jnp.int32),
         rho_updates=jnp.int32(0),
-        fX=X0, fZ=Z0, fY=Y0,
+        fS=jnp.concatenate([X0, Z0, Y0], axis=0),
         fdX=jnp.zeros((n, B), dtype), fdY=jnp.zeros((m, B), dtype),
         pri_res=jnp.full((B,), jnp.inf, dtype),
         dua_res=jnp.full((B,), jnp.inf, dtype),
@@ -317,75 +362,90 @@ def _shared_solve_impl(
         dual_obj_val=jnp.full((B,), jnp.nan, dtype),
     )
 
-    mm = functools.partial(jnp.matmul, preferred_element_type=dtype)
-
-    def iteration(carry, _):
-        X, Z, Y, dX, dY, Minv, M, rho_vec, rho_inv = carry
-        B2 = Z - rho_inv[:, None] * Y
-        RHS = sigma * X - Q + mm(A.T, rho_vec[:, None] * B2)
-        Xt = mm(Minv, RHS)
-        Xt = Xt + mm(Minv, RHS - mm(M, Xt))  # refinement
-        AXt = mm(A, Xt)
-        NU = rho_vec[:, None] * (AXt - B2)
-        Zt = Z + rho_inv[:, None] * (NU - Y)
+    def iteration(F, c0, rvec, rinv, carry):
+        """Affine-form ADMM iteration (same math as the Pallas kernel;
+        see _build_affine)."""
+        S, dX, dY = carry
+        X = S[:n]
+        Y = S[n + m:]
+        V = mm(F, S) + c0
+        Xt = V[:n]
+        Pz = V[n:]
+        Zn = jnp.clip(Pz, L_b, U_b)
+        Yn = Y + rvec[:, None] * (Pz - rinv[:, None] * Y - Zn)
         Xn = alpha * Xt + (1 - alpha) * X
-        Zr = alpha * Zt + (1 - alpha) * Z
-        Zn = jnp.clip(Zr + rho_inv[:, None] * Y, L_b, U_b)
-        dYn = rho_vec[:, None] * (Zr - Zn)
-        Yn = Y + dYn
-        return (Xn, Zn, Yn, Xn - X, dYn, Minv, M, rho_vec, rho_inv), None
+        Sn = jnp.concatenate([Xn, Zn, Yn], axis=0)
+        return Sn, Xn - X, Yn - Y
 
-    def check(X, Z, Y, dX, dY, approximate):
+    def check(S, dX, dY, approximate):
         return _batch_check_shared(
-            P, A, Q, L_b, U_b, scal, settings, X, Z, Y, dX, dY,
+            P, A, Q, L_b, U_b, scal, settings,
+            S[:n], S[n:n + m], S[n + m:], dX, dY,
             jnp.asarray(approximate), mm,
         )
 
     def cond(st: SharedState):
         return (st.it < settings.iter_cap) & jnp.any(st.status == _UNSOLVED)
 
+    codes = dict(
+        solved=int(SolverStatus.OSQP_SOLVED),
+        pinf=_PRIM_INF, dinf=_DUAL_INF,
+        unsolved=_UNSOLVED, noncvx=int(SolverStatus.OSQP_NON_CVX),
+    )
+
     def body(st: SharedState):
         this_epoch = jnp.minimum(epoch_len, settings.iter_cap - st.it)
-        if fused is not None:
-            X, Z, Y, dX, dY = shared_epoch_pallas(
-                A, At, st.Minv, st.M, st.rho_vec, st.rho_inv,
-                Q, L_b, U_b, st.X, st.Z, st.Y,
-                sigma, alpha, this_epoch,
-                interpret=(fused == 'interpret'),
-            )
-        else:
-            carry = (st.X, st.Z, st.Y, st.dX, st.dY, st.Minv, st.M,
-                     st.rho_vec, st.rho_inv)
-            carry = lax.fori_loop(
-                0, this_epoch, lambda k, c: iteration(c, None)[0], carry
-            )
-            X, Z, Y, dX, dY, *_ = carry
         it = st.it + this_epoch
         active = st.status == _UNSOLVED
-        st = st._replace(
-            it=it,
-            X=jnp.where(active[None], X, st.X),
-            Z=jnp.where(active[None], Z, st.Z),
-            Y=jnp.where(active[None], Y, st.Y),
-            dX=jnp.where(active[None], dX, st.dX),
-            dY=jnp.where(active[None], dY, st.dY),
-        )
+        if fused is not None:
+            # One kernel launch: epoch + merge + termination check + capture,
+            # all (feature, B) traffic stays in VMEM.
+            (S, dX, dY, fS, fdX, fdY,
+             status_new, pri, dua, obj, dobj) = shared_body_pallas(
+                st.F, CH, At, st.rho_vec, st.rho_inv,
+                scal.D, scal.Dinv, scal.E, scal.Einv,
+                st.c0, Q, L_b, U_b, st.S, st.dX, st.dY,
+                st.fS, st.fdX, st.fdY, st.status,
+                settings, scal.c, scal.cinv, codes, this_epoch,
+                interpret=(fused == 'interpret'),
+            )
+            st = st._replace(
+                it=it, S=S, dX=dX, dY=dY, fS=fS, fdX=fdX, fdY=fdY,
+                status=status_new,
+                iters_done=jnp.where(active, it, st.iters_done),
+                pri_res=jnp.where(active, pri, st.pri_res),
+                dua_res=jnp.where(active, dua, st.dua_res),
+                obj_val=jnp.where(active, obj, st.obj_val),
+                dual_obj_val=jnp.where(active, dobj, st.dual_obj_val),
+            )
+        else:
+            F, c0, rvec, rinv = st.F, st.c0, st.rho_vec, st.rho_inv
+            carry = lax.fori_loop(
+                0, this_epoch,
+                lambda k, c: iteration(F, c0, rvec, rinv, c),
+                (st.S, st.dX, st.dY),
+            )
+            S, dX, dY = carry
+            st = st._replace(
+                it=it,
+                S=jnp.where(active[None], S, st.S),
+                dX=jnp.where(active[None], dX, st.dX),
+                dY=jnp.where(active[None], dY, st.dY),
+            )
 
-        status_new, pri, dua, obj, dobj = check(st.X, st.Z, st.Y, st.dX, st.dY, False)
-        newly = active & (status_new != _UNSOLVED)
-        st = st._replace(
-            status=jnp.where(newly, status_new, st.status),
-            iters_done=jnp.where(active, it, st.iters_done),
-            pri_res=jnp.where(active, pri, st.pri_res),
-            dua_res=jnp.where(active, dua, st.dua_res),
-            obj_val=jnp.where(active, obj, st.obj_val),
-            dual_obj_val=jnp.where(active, dobj, st.dual_obj_val),
-            fX=jnp.where(newly[None], st.X, st.fX),
-            fZ=jnp.where(newly[None], st.Z, st.fZ),
-            fY=jnp.where(newly[None], st.Y, st.fY),
-            fdX=jnp.where(newly[None], st.dX, st.fdX),
-            fdY=jnp.where(newly[None], st.dY, st.fdY),
-        )
+            status_new, pri, dua, obj, dobj = check(st.S, st.dX, st.dY, False)
+            newly = active & (status_new != _UNSOLVED)
+            st = st._replace(
+                status=jnp.where(newly, status_new, st.status),
+                iters_done=jnp.where(active, it, st.iters_done),
+                pri_res=jnp.where(active, pri, st.pri_res),
+                dua_res=jnp.where(active, dua, st.dua_res),
+                obj_val=jnp.where(active, obj, st.obj_val),
+                dual_obj_val=jnp.where(active, dobj, st.dual_obj_val),
+                fS=jnp.where(newly[None], st.S, st.fS),
+                fdX=jnp.where(newly[None], st.dX, st.fdX),
+                fdY=jnp.where(newly[None], st.dY, st.fdY),
+            )
 
         epoch_idx = (it + epoch_len - 1) // jnp.maximum(epoch_len, 1)
         do_adapt = (
@@ -403,7 +463,7 @@ def _shared_solve_impl(
 
             # real columns only (padded columns would bias the median)
             ests = jax.vmap(est, in_axes=(1, 1, 1, 1))(
-                Q[:, :B0], st.X[:, :B0], st.Z[:, :B0], st.Y[:, :B0]
+                Q[:, :B0], st.S[:n, :B0], st.S[n:n + m, :B0], st.S[n + m:, :B0]
             )
             still = st.status[:B0] == _UNSOLVED
             # median over active instances (inactive -> current rho)
@@ -416,12 +476,18 @@ def _shared_solve_impl(
                 types = core.constraint_types(L_b[:, 0], U_b[:, 0])
                 vec = core.rho_vec_from_types(types, rho_new, settings.rho_is_vec)
                 fac = core.factorize(P, A, sigma, vec, 'inv')
+                rinv = jnp.where(vec > 0, 1.0 / vec, 0.0)
+                F_new, c0_new = _build_affine(
+                    A, At, fac.Minv, fac.L, vec, rinv, sigma, alpha, Q, mm, dtype
+                )
                 return st._replace(
                     rho=jnp.clip(rho_new, 1e-6, 1e6),
                     rho_vec=vec,
-                    rho_inv=jnp.where(vec > 0, 1.0 / vec, 0.0),
+                    rho_inv=rinv,
                     Minv=fac.Minv,
                     M=fac.L,
+                    F=F_new,
+                    c0=c0_new,
                     rho_updates=st.rho_updates + 1,
                 )
 
@@ -434,8 +500,8 @@ def _shared_solve_impl(
 
     # post-loop max-iter handling
     active = st.status == _UNSOLVED
-    status_ex, pri_ex, dua_ex, obj_ex, dobj_ex = check(st.X, st.Z, st.Y, st.dX, st.dY, False)
-    status_ap, _, _, obj_ap, _ = check(st.X, st.Z, st.Y, st.dX, st.dY, True)
+    status_ex, pri_ex, dua_ex, obj_ex, dobj_ex = check(st.S, st.dX, st.dY, False)
+    status_ap, _, _, obj_ap, _ = check(st.S, st.dX, st.dY, True)
     status_fin = jnp.where(
         status_ex != _UNSOLVED,
         status_ex,
@@ -448,9 +514,7 @@ def _shared_solve_impl(
         dua_res=jnp.where(active, dua_ex, st.dua_res),
         obj_val=jnp.where(active, jnp.where(status_ex != _UNSOLVED, obj_ex, obj_ap), st.obj_val),
         dual_obj_val=jnp.where(active, dobj_ex, st.dual_obj_val),
-        fX=jnp.where(active[None], st.X, st.fX),
-        fZ=jnp.where(active[None], st.Z, st.fZ),
-        fY=jnp.where(active[None], st.Y, st.fY),
+        fS=jnp.where(active[None], st.S, st.fS),
         fdX=jnp.where(active[None], st.dX, st.fdX),
         fdY=jnp.where(active[None], st.dY, st.fdY),
     )
@@ -459,8 +523,10 @@ def _shared_solve_impl(
         st.status, jnp.array([_PRIM_INF, _PRIM_INF_INACC, _DUAL_INF, _DUAL_INF_INACC])
     )
     unscaled = ~settings.scaled_termination
-    X_out = jnp.where(infeasible[None], jnp.nan, scal.D[:, None] * st.fX)
-    Y_out = jnp.where(infeasible[None], jnp.nan, scal.cinv * (scal.E[:, None] * st.fY))
+    fX = st.fS[:n]
+    fY = st.fS[n + m:]
+    X_out = jnp.where(infeasible[None], jnp.nan, scal.D[:, None] * fX)
+    Y_out = jnp.where(infeasible[None], jnp.nan, scal.cinv * (scal.E[:, None] * fY))
     prim_cert = jnp.where(unscaled, scal.E[:, None] * st.fdY, st.fdY)
     dual_cert = jnp.where(unscaled, scal.D[:, None] * st.fdX, st.fdX)
 
@@ -473,7 +539,7 @@ def _shared_solve_impl(
         rho=st.rho, rho_vec=st.rho_vec[:m0],
         Minv=st.Minv[:n0, :n0], M=st.M[:n0, :n0],
         rho_updates=st.rho_updates,
-        X=st.X[:n0, :B0], Z=st.Z[:m0, :B0], Y=st.Y[:m0, :B0],
+        X=st.S[:n0, :B0], Z=st.S[n:n + m0, :B0], Y=st.S[n + m:n + m + m0, :B0],
     )
 
 
