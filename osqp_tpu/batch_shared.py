@@ -141,6 +141,28 @@ def _fused_epoch_mode(dtype, n: int, m: int, B: int):
     return 'tpu'
 
 
+def _batch_rho_estimate(CH, At, n, Q, X, Z, Y, rho, mm):
+    """Per-column rho estimate (ref _osqp.py:880-908): same math as
+    core.rho_estimate_fn but over the whole batch as two stacked matmuls
+    (``[P; A] @ X`` and ``A' @ Y``) plus columnwise inf-norm reductions."""
+    dtype = X.dtype
+    PAX = mm(CH, X)
+    PX, AX = PAX[:n], PAX[n:]
+    AtY = mm(At, Y)
+
+    def cm(V):
+        return jnp.max(jnp.abs(V), axis=0)
+
+    eps10 = jnp.asarray(1e-10, dtype)
+    pri_n = cm(AX - Z) / (jnp.maximum(cm(AX), cm(Z)) + eps10)
+    dua_n = cm(PX + Q + AtY) / (
+        jnp.maximum(jnp.maximum(cm(AtY), cm(PX)), cm(Q)) + eps10
+    )
+    return jnp.clip(
+        rho * jnp.sqrt(pri_n / (dua_n + eps10)), core.RHO_MIN, core.RHO_MAX
+    )
+
+
 def _pad2(V, r, c):
     """Zero-pad a 2-D array to (r, c)."""
     return jnp.pad(V, ((0, r - V.shape[0]), (0, c - V.shape[1])))
@@ -456,14 +478,14 @@ def _shared_solve_impl(
         )
 
         def adapt(st: SharedState):
-            # batch-median rho estimate over still-active instances
-            def est(q, x, z, y):
-                data1 = core.QPData(P=P, q=q, A=A, l=q[:1], u=q[:1])  # l/u unused
-                return core.rho_estimate_fn(data1, x, z, y, st.rho)
-
-            # real columns only (padded columns would bias the median)
-            ests = jax.vmap(est, in_axes=(1, 1, 1, 1))(
-                Q[:, :B0], st.S[:n, :B0], st.S[n:n + m, :B0], st.S[n + m:, :B0]
+            # batch rho estimate over still-active instances, as 2 stacked
+            # matmuls + columnwise reductions (the vmapped per-instance
+            # core.rho_estimate_fn lowers ~13x slower; exact equivalence is
+            # pinned by test_rho_estimate_equivalence).  Real columns only:
+            # padded columns would bias the median.
+            ests = _batch_rho_estimate(
+                CH, At, n, Q[:, :B0], st.S[:n, :B0], st.S[n:n + m, :B0],
+                st.S[n + m:, :B0], st.rho, mm,
             )
             still = st.status[:B0] == _UNSOLVED
             # median over active instances (inactive -> current rho)

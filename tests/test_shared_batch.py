@@ -175,3 +175,35 @@ def test_fused_epoch_equivalence(monkeypatch):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got['y']), np.asarray(ref['y']),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_rho_estimate_equivalence():
+    """_batch_rho_estimate must reproduce core.rho_estimate_fn exactly."""
+    import functools
+
+    import jax
+    from osqp_tpu.solver import core
+    from osqp_tpu.batch_shared import _batch_rho_estimate
+
+    rng = np.random.default_rng(7)
+    B, n, m = 11, 10, 14
+    P, A, q, l, u = _problems(B, n, m, seed=7)
+    f64 = jnp.float64
+    P_s = jnp.asarray(P, f64)
+    A_s = jnp.asarray(A, f64)
+    Q = jnp.asarray(q.T, f64)
+    X = jnp.asarray(rng.standard_normal((n, B)), f64)
+    Z = jnp.asarray(rng.standard_normal((m, B)), f64)
+    Y = jnp.asarray(rng.standard_normal((m, B)), f64)
+    rho = jnp.asarray(0.37, f64)
+
+    mm = functools.partial(jnp.matmul, preferred_element_type=f64)
+    CH = jnp.concatenate([P_s, A_s], axis=0)
+    got = _batch_rho_estimate(CH, A_s.T, n, Q, X, Z, Y, rho, mm)
+
+    def one(qv, x, z, y):
+        data1 = core.QPData(P=P_s, q=qv, A=A_s, l=qv[:1], u=qv[:1])
+        return core.rho_estimate_fn(data1, x, z, y, rho)
+
+    want = jax.vmap(one, in_axes=(1, 1, 1, 1))(Q, X, Z, Y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-13, atol=0)
