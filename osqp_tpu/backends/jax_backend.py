@@ -90,6 +90,22 @@ class _DeviceScope:
             self._cm.__exit__(*exc)
 
 
+def _qp_data_astype(data: 'core.QPData', dtype) -> 'core.QPData':
+    """Cast QPData values to dtype, preserving BCOO structure (indices
+    untouched)."""
+    from jax.experimental import sparse as jsparse
+
+    def c(M):
+        if isinstance(M, jsparse.BCOO):
+            return jsparse.BCOO((M.data.astype(dtype), M.indices), shape=M.shape)
+        return M.astype(dtype)
+
+    return core.QPData(
+        P=c(data.P), q=data.q.astype(dtype), A=c(data.A),
+        l=data.l.astype(dtype), u=data.u.astype(dtype),
+    )
+
+
 def _on_device(fn):
     import functools
 
@@ -140,6 +156,7 @@ class Solver:
             max_iter=jnp.int32(stg.max_iter),
             check_termination=jnp.int32(ct),
             scaled_termination=jnp.asarray(bool(stg.scaled_termination)),
+            check_dualgap=jnp.asarray(bool(stg.check_dualgap)),
             adaptive_rho=jnp.asarray(bool(stg.adaptive_rho)),
             adaptive_rho_interval=jnp.int32(interval),
             adaptive_rho_tolerance=f(stg.adaptive_rho_tolerance),
@@ -371,31 +388,52 @@ class Solver:
         x_out = np.asarray(res.x, np.float64)
         y_out = np.asarray(res.y, np.float64)
 
-        # polish (host-gated on the polishing setting + SOLVED status)
+        # polish (host-gated on the polishing setting + SOLVED status).
+        # Always computed in float64: polish is a one-shot high-accuracy
+        # refinement (the reference C core always polishes in double) and the
+        # Schur operator's 1/delta conditioning defeats float32.
         info.status_polish = 0
         info.polish_time = 0.0
-        if stg.polishing and status == int(SolverStatus.OSQP_SOLVED) and not self._is_sparse:
+        if stg.polishing and status == int(SolverStatus.OSQP_SOLVED):
             tp = time.perf_counter()
-            pol = core.polish(
-                self._data,
-                self._scal,
-                self._core_settings(),
-                jnp.asarray(stg.delta, self._dtype),
-                jnp.int32(stg.polish_refine_iter),
-                res.iterates.x,
-                res.iterates.z,
-                res.iterates.y,
-                res.pri_res,
-                res.dua_res,
+            import contextlib
+
+            f64 = jnp.float64
+            ctx = (
+                contextlib.nullcontext()
+                if jax.config.jax_enable_x64
+                else jax.enable_x64(True)
             )
+            with ctx:
+                pol = core.polish(
+                    _qp_data_astype(self._data, f64),
+                    core.Scaling(*(v.astype(f64) for v in self._scal)),
+                    self._core_settings(),
+                    jnp.asarray(stg.delta, f64),
+                    jnp.int32(stg.polish_refine_iter),
+                    res.iterates.x.astype(f64),
+                    res.iterates.z.astype(f64),
+                    res.iterates.y.astype(f64),
+                    res.pri_res.astype(f64),
+                    res.dua_res.astype(f64),
+                )
+                pol = jax.tree.map(lambda v: np.asarray(v), pol)
+                pol = core.PolishResult(*pol)
             if bool(pol.success):
                 info.status_polish = 1
                 info.obj_val = float(pol.obj_val)
                 info.prim_res = float(pol.pri_res)
                 info.dual_res = float(pol.dua_res)
-                self._iterates = core.Iterates(x=pol.x, z=pol.z, y=pol.y)
-                x_out = np.asarray(self._scal.D * pol.x, np.float64)
-                y_out = np.asarray(self._scal.cinv * (self._scal.E * pol.y), np.float64)
+                self._iterates = core.Iterates(
+                    x=jnp.asarray(pol.x, self._dtype),
+                    z=jnp.asarray(pol.z, self._dtype),
+                    y=jnp.asarray(pol.y, self._dtype),
+                )
+                D_h = np.asarray(self._scal.D, np.float64)
+                E_h = np.asarray(self._scal.E, np.float64)
+                cinv_h = float(self._scal.cinv)
+                x_out = D_h * pol.x
+                y_out = cinv_h * (E_h * pol.y)
             else:
                 info.status_polish = -1
             info.polish_time = time.perf_counter() - tp

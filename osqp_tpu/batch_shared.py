@@ -277,9 +277,14 @@ def _batch_check_shared(P, A, Q, L_b, U_b, scal, settings, X, Z, Y, dX, dY,
     pinf_code = jnp.where(approximate, 4, 3)
     dinf_code = jnp.where(approximate, 6, 5)
 
+    # duality-gap criterion (OSQP v1 C core; gated by check_dualgap)
+    gap = obj - dual_obj
+    eps_gap = eps_abs + eps_rel * jnp.maximum(jnp.abs(obj), jnp.abs(dual_obj))
+    gap_ok = (~settings.check_dualgap) | (jnp.isfinite(gap) & (jnp.abs(gap) < eps_gap))
+
     status = jnp.where(
         noncvx, 9,
-        jnp.where(pri_check & dua_check, solved_code,
+        jnp.where(pri_check & dua_check & gap_ok, solved_code,
                   jnp.where(pinf, pinf_code, jnp.where(dinf, dinf_code, _UNSOLVED))),
     ).astype(jnp.int32)
 

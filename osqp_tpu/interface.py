@@ -63,7 +63,7 @@ DEFAULT_SETTINGS = {
     'eps_dual_inf': 1e-4,
     'scaled_termination': False,
     'check_termination': 25,
-    'check_dualgap': False,
+    'check_dualgap': True,
     'time_limit': 0.0,
     'delta': 1e-6,
     'polish_refine_iter': 3,
@@ -367,6 +367,36 @@ class OSQP:
     def warm_start(self, x=None, y=None):
         return self.raises_error(self._solver.warm_start, x, y)
 
+    def _rel_kkt_error(self, x, y, info):
+        """Relative KKT error at the returned solution, from the cached
+        original (unscaled) data: the max of the relative primal residual,
+        relative dual residual, and relative duality gap.  The reference
+        exposes the C core's field (bindings.cpp.in:492) without pinning its
+        formula; this is the standard benchmark-reporting definition."""
+        cache = self._derivative_cache
+        P, q = cache['P'], cache['q']
+        A, l, u = cache['A'], cache['l'], cache['u']
+        Pf = spa.triu(P, 1)
+        Px = P @ x + Pf.T @ x  # P is stored triu; symmetrize the matvec
+        if self.m:
+            Ax = A @ x
+            Aty = A.T @ y
+            r_p = np.abs(Ax - np.clip(Ax, l, u)).max(initial=0.0)
+            p_scale = max(
+                1.0, np.abs(Ax).max(initial=0.0), np.abs(np.clip(Ax, l, u)).max(initial=0.0)
+            )
+        else:
+            Aty = np.zeros_like(x)
+            r_p, p_scale = 0.0, 1.0
+        r_d = np.abs(Px + q + Aty).max(initial=0.0)
+        d_scale = max(
+            1.0, np.abs(Px).max(initial=0.0), np.abs(Aty).max(initial=0.0),
+            np.abs(q).max(initial=0.0),
+        )
+        gap = abs(float(info.duality_gap))
+        g_scale = max(1.0, abs(float(info.obj_val)), abs(float(info.dual_obj_val)))
+        return float(max(r_p / p_scale, r_d / d_scale, gap / g_scale))
+
     def solve(self, raise_error=None):
         if raise_error is None:
             warnings.warn(
@@ -380,6 +410,13 @@ class OSQP:
         info_ns = SimpleNamespace(**{k: getattr(info, k) for k in _INFO_FIELDS})
         if info_ns.status_val == int(SolverStatus.OSQP_NON_CVX):
             info_ns.obj_val = np.nan
+        if info_ns.status_val in (
+            int(SolverStatus.OSQP_SOLVED),
+            int(SolverStatus.OSQP_SOLVED_INACCURATE),
+        ):
+            info_ns.rel_kkt_error = self._rel_kkt_error(
+                solution.x, solution.y, info_ns
+            )
 
         if info_ns.status_val != int(SolverStatus.OSQP_SOLVED) and raise_error:
             raise OSQPException(info_ns.status_val)

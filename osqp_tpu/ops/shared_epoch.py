@@ -65,7 +65,7 @@ _MIN_SCALING = 1e-4
 
 # SMEM scalar-vector slots
 _SIGMA, _ALPHA, _K, _EPS_ABS, _EPS_REL, _EPS_PINF, _EPS_DINF, _C, _CINV, \
-    _UNSCALED, _SOLVED, _PINF, _DINF, _UNSOLVED_C, _NONCVX = range(15)
+    _UNSCALED, _SOLVED, _PINF, _DINF, _UNSOLVED_C, _NONCVX, _DUALGAP = range(16)
 
 
 def _round_up(x: int, k: int) -> int:
@@ -113,6 +113,7 @@ def _body_kernel(
     dinf_code = scal_ref[_DINF].astype(jnp.int32)
     unsolved = scal_ref[_UNSOLVED_C].astype(jnp.int32)
     noncvx_code = scal_ref[_NONCVX].astype(jnp.int32)
+    check_dualgap = scal_ref[_DUALGAP] > 0
 
     F = F_ref[:]
     CH = CH_ref[:]
@@ -253,9 +254,14 @@ def _body_kernel(
     dinf &= ~bad_any
     dinf = dinf & ~dua_check
 
+    # duality-gap criterion (OSQP v1 C core; gated by check_dualgap)
+    gap = obj - dobj
+    eps_gap = eps_abs + eps_rel * jnp.maximum(jnp.abs(obj), jnp.abs(dobj))
+    gap_ok = (~check_dualgap) | (jnp.isfinite(gap) & (jnp.abs(gap) < eps_gap))
+
     cand = jnp.where(
         noncvx, noncvx_code,
-        jnp.where(pri_check & dua_check, solved_code,
+        jnp.where(pri_check & dua_check & gap_ok, solved_code,
                   jnp.where(pinf, pinf_code,
                             jnp.where(dinf, dinf_code, unsolved))),
     ).astype(jnp.int32)
@@ -332,6 +338,7 @@ def shared_body_pallas(
         jnp.asarray(codes['dinf'], f32),
         jnp.asarray(codes['unsolved'], f32),
         jnp.asarray(codes['noncvx'], f32),
+        jnp.where(jnp.asarray(settings.check_dualgap), 1.0, 0.0).astype(f32),
     ])
 
     # index maps must return int32 (under jax_enable_x64 a plain literal 0
@@ -369,7 +376,7 @@ def shared_body_pallas(
         functools.partial(_body_kernel, n, m, iter_precision),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((15,), lambda i: (jnp.int32(0),),
+            pl.BlockSpec((16,), lambda i: (jnp.int32(0),),
                          memory_space=pltpu.SMEM),  # scalars
             fixed((n + m, stacked)),  # F
             fixed((n + m, n)),  # CH

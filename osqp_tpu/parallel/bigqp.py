@@ -1,0 +1,416 @@
+"""Huge-QP mode: ONE sparse QP block-partitioned across a device mesh.
+
+BASELINE config 5 ("block-partitioned huge QP (n>=1e6) via consensus-ADMM +
+Schur reductions on multi-host pod").  The reference's answer to large QPs is
+`solver_type='indirect'` (PCG, matvec-only; reference interface.py:254-260) on
+one GPU; this module is the TPU-native scale-out of that design:
+
+* rows of the sparse ``P`` and ``A`` are sharded across the mesh axis
+  (each device holds a padded local BCOO block), together with the matching
+  slices of ``z, y, l, u, rho``;
+* ``x`` (and ``q``) are replicated - for n=1e6 a replica is ~4-8 MB while the
+  sharded matrices carry the memory;
+* the reduced-KKT (Schur) operator ``M v = P v + sigma v + A' rho (A v)`` is
+  never materialized: it is applied per CG iteration with exactly TWO
+  collectives over ICI - one ``all_gather`` (of the local ``P v`` row slices)
+  and one ``psum`` (of the local ``A' rho A v`` partials);
+* the per-epoch termination check reduces residual inf-norms with
+  ``pmax``/``psum``.
+
+Because the math is the vector-rho ADMM of the single-device indirect solver
+(same scaling, same rho typing, same termination; ref algorithm spec
+/root/reference/src/osqppurepy/_osqp.py:644-703, 705-794, 998-1077), iteration
+counts match the single-chip solver exactly - the mesh only changes WHERE each
+row block lives.  This subsumes column-split x-consensus averaging: the
+coupled axis (the reductions ``A' rho A v`` and ``P v``) is what is sharded
+and psum-reduced, the Schur-complement reduction of the north star.
+
+v1 scope: solve + warm start + adaptive rho (a diagonal-only change - CG has
+nothing to refactorize).  Infeasibility certificates and polish are left to
+the single-device paths.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..constants import OSQP_INFTY, SolverStatus
+from ..utils.scaling_host import ruiz_scale_scipy
+
+_MIN_SCALING = 1e-4
+_RHO_MIN, _RHO_MAX = 1e-6, 1e6
+_RHO_EQ_FACTOR = 1e3
+_RHO_TOL = 1e-4
+
+
+class BigQPData(NamedTuple):
+    """Host-prepared sharded problem (leading axis J = number of shards)."""
+
+    pdata: jax.Array  # (J, nnzP) padded local P row-block values
+    pidx: jax.Array  # (J, nnzP, 2) int32 (local row, global col)
+    adata: jax.Array  # (J, nnzA)
+    aidx: jax.Array  # (J, nnzA, 2)
+    q: jax.Array  # (n,) scaled, replicated
+    l: jax.Array  # (J, m_loc) scaled row slices (padding: -INFTY)
+    u: jax.Array  # (J, m_loc) (padding: +INFTY)
+    rho_vec: jax.Array  # (J, m_loc) (padding: RHO_MIN, loose rows)
+    types: jax.Array  # (J, m_loc) int8: -1 loose, 0 ineq, 1 eq
+    diag_M: jax.Array  # (n,) CG preconditioner diag(P + sigma I + A' rho A)
+    D: jax.Array  # (n,) Ruiz scalers (replicated)
+    Dinv: jax.Array
+    E: jax.Array  # (J, m_loc) (padding: 1.0)
+    Einv: jax.Array
+    c: jax.Array  # () cost scaling
+    cinv: jax.Array
+    n: int
+    m: int
+    n_loc: int  # padded P row-block height
+    m_loc: int  # padded A row-block height
+
+
+class BigQPResult(NamedTuple):
+    x: jax.Array  # (n,) unscaled primal
+    y: jax.Array  # (m,) unscaled dual
+    z: jax.Array  # (m,) scaled z iterate (for warm restarts)
+    status: jax.Array
+    iters: jax.Array
+    pri_res: jax.Array
+    dua_res: jax.Array
+    obj_val: jax.Array
+    rho: jax.Array
+    rho_updates: jax.Array
+
+
+def _pad_rows_coo(S, J, blk, nnz_pad):
+    """Split a scipy sparse matrix into J contiguous row blocks of height
+    ``blk``; return (J, nnz_pad) data and (J, nnz_pad, 2) [local row, col]
+    indices, zero-padded (zero data at index (0,0) is a no-op in BCOO)."""
+    S = S.tocoo()
+    block = S.row // blk
+    data = np.zeros((J, nnz_pad), S.dtype)
+    idx = np.zeros((J, nnz_pad, 2), np.int32)
+    for j in range(J):
+        sel = block == j
+        k = int(sel.sum())
+        if k > nnz_pad:
+            raise ValueError('nnz_pad too small')
+        data[j, :k] = S.data[sel]
+        idx[j, :k, 0] = S.row[sel] - j * blk
+        idx[j, :k, 1] = S.col[sel]
+    return data, idx
+
+
+def big_qp_setup(P_sp, q, A_sp, l, u, J, *, scaling=10, sigma=1e-6, rho=0.1,
+                 rho_is_vec=True, dtype=jnp.float32) -> BigQPData:
+    """Host-side preparation: Ruiz scaling, rho typing, row partitioning.
+
+    ``J`` is the number of shards (mesh axis size).  P must be the FULL
+    symmetric matrix (not triu).
+    """
+    n, m = P_sp.shape[0], A_sp.shape[0]
+    if scaling > 0:
+        P_s, A_s, q_s, l_s, u_s, D, E, c = ruiz_scale_scipy(P_sp, A_sp, q, l, u, scaling)
+    else:
+        P_s, A_s = sp.csc_matrix(P_sp, dtype=np.float64), sp.csc_matrix(A_sp, dtype=np.float64)
+        q_s, l_s, u_s = np.asarray(q, np.float64), np.asarray(l, np.float64), np.asarray(u, np.float64)
+        D, E, c = np.ones(n), np.ones(m), 1.0
+
+    # constraint typing + vector rho (ref _osqp.py:499-524)
+    loose = (l_s < -OSQP_INFTY * _MIN_SCALING) & (u_s > OSQP_INFTY * _MIN_SCALING)
+    eq = (~loose) & (u_s - l_s < _RHO_TOL)
+    types = np.where(loose, -1, np.where(eq, 1, 0)).astype(np.int8)
+    rho0 = float(np.clip(rho, _RHO_MIN, _RHO_MAX))
+    if rho_is_vec:
+        rho_vec = np.where(loose, _RHO_MIN, np.where(eq, _RHO_EQ_FACTOR * rho0, rho0))
+    else:
+        rho_vec = np.full(m, rho0)
+
+    n_loc = -(-n // J)
+    m_loc = -(-m // J)
+    nnzP = max(-(-int(P_s.nnz) // J) * 2, 8)
+    nnzA = max(-(-int(A_s.nnz) // J) * 2, 8)
+    pdata, pidx = _pad_rows_coo(P_s, J, n_loc, nnzP)
+    adata, aidx = _pad_rows_coo(A_s, J, m_loc, nnzA)
+
+    def padm(v, fill):
+        return np.pad(v, (0, J * m_loc - m), constant_values=fill).reshape(J, m_loc)
+
+    # CG preconditioner diagonal, computed once on host (O(nnz))
+    A_csc = A_s.tocsc()
+    gram = np.asarray((A_csc.multiply(A_csc)).T @ rho_vec).ravel()
+    diag_M = np.asarray(P_s.diagonal()).ravel() + sigma + gram
+
+    f = lambda v: jnp.asarray(v, dtype)
+    return BigQPData(
+        pdata=f(pdata), pidx=jnp.asarray(pidx),
+        adata=f(adata), aidx=jnp.asarray(aidx),
+        q=f(q_s),
+        l=f(padm(l_s, -OSQP_INFTY)), u=f(padm(u_s, OSQP_INFTY)),
+        rho_vec=f(padm(rho_vec, _RHO_MIN)),
+        types=jnp.asarray(padm(types, -1), jnp.int8),
+        diag_M=f(diag_M),
+        D=f(D), Dinv=f(1.0 / D),
+        E=f(padm(E, 1.0)), Einv=f(padm(1.0 / E, 1.0)),
+        c=f(c), cinv=f(1.0 / c),
+        n=n, m=m, n_loc=n_loc, m_loc=m_loc,
+    )
+
+
+def big_qp_solve(mesh: Mesh, data: BigQPData, *, sigma=1e-6, alpha=1.6,
+                 eps_abs=1e-3, eps_rel=1e-3, max_iter=4000, check_every=25,
+                 adaptive_rho=True, adaptive_rho_interval=100,
+                 adaptive_rho_tolerance=5.0, cg_tol=None, cg_max_iter=None,
+                 axis='mp', x0=None, z0=None, y0=None) -> BigQPResult:
+    """Solve the sharded QP.  ``x0``/``z0``/``y0`` warm-start (x unscaled
+    ignored - pass the scaled iterates from a previous BigQPResult.z etc. or
+    zeros).  Returns unscaled x/y like the single-device solver."""
+    from jax.experimental import sparse as jsparse
+
+    J = mesh.shape[axis]
+    n, m, n_loc, m_loc = data.n, data.m, data.n_loc, data.m_loc
+    dtype = data.q.dtype
+    f = lambda v: jnp.asarray(v, dtype)
+    sigma_t, alpha_t = f(sigma), f(alpha)
+    eps_abs_t, eps_rel_t = f(eps_abs), f(eps_rel)
+    if cg_tol is None:
+        cg_tol = 1e-12 if dtype == jnp.float64 else 1e-7
+    cg_tol_t = f(cg_tol)
+    cg_cap = jnp.int32(cg_max_iter if cg_max_iter is not None else max(2 * n, 100))
+    tolr = f(adaptive_rho_tolerance)
+    epochs_per_adapt = max(adaptive_rho_interval // max(check_every, 1), 1)
+
+    x_init = f(jnp.zeros((n,)) if x0 is None else x0)
+    z_init = (jnp.zeros((J, m_loc), dtype) if z0 is None
+              else jnp.pad(f(z0), (0, J * m_loc - m)).reshape(J, m_loc))
+    y_init = (jnp.zeros((J, m_loc), dtype) if y0 is None
+              else jnp.pad(f(y0), (0, J * m_loc - m)).reshape(J, m_loc))
+
+    spec_sh = P(axis)  # leading axis sharded
+    spec_rep = P()
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            spec_sh, spec_sh, spec_sh, spec_sh,  # pdata pidx adata aidx
+            spec_rep,  # q
+            spec_sh, spec_sh, spec_sh, spec_sh,  # l u rho types
+            spec_rep, spec_rep, spec_rep,  # diag_M D Dinv
+            spec_sh, spec_sh,  # E Einv
+            spec_rep,  # cinv
+            spec_rep,  # x0
+            spec_sh, spec_sh,  # z0 y0
+        ),
+        out_specs=BigQPResult(
+            x=spec_rep, y=spec_sh, z=spec_sh,
+            status=spec_rep, iters=spec_rep,
+            pri_res=spec_rep, dua_res=spec_rep, obj_val=spec_rep,
+            rho=spec_rep, rho_updates=spec_rep,
+        ),
+        check_vma=False,
+    )
+    def run(pdata, pidx, adata, aidx, q, l_b, u_b, rho_b, types_b,
+            diag_M, D, Dinv, E_b, Einv_b, cinv_in, x_i, z_i, y_i):
+        pdata, pidx = pdata[0], pidx[0]
+        adata, aidx = adata[0], aidx[0]
+        l_loc, u_loc = l_b[0], u_b[0]
+        rho_loc0 = rho_b[0]
+        types_loc = types_b[0]
+        E_loc, Einv_loc = E_b[0], Einv_b[0]
+        z_i, y_i = z_i[0], y_i[0]
+
+        P_loc = jsparse.BCOO((pdata, pidx), shape=(n_loc, n))
+        A_loc = jsparse.BCOO((adata, aidx), shape=(m_loc, n))
+        At_loc = jsparse.BCOO(
+            (adata, aidx[:, ::-1]), shape=(n, m_loc)
+        )
+        # squared-transpose operator for diag(A' diag(rho) A) = A2t @ rho
+        A2t_loc = jsparse.BCOO(
+            (adata * adata, aidx[:, ::-1]), shape=(n, m_loc)
+        )
+        data_cinv = cinv_in.astype(dtype)
+
+        def gather(v_loc):
+            """(n_loc,) local row slice -> replicated (n,)."""
+            return lax.all_gather(v_loc, axis, tiled=True)[:n]
+
+        def Pmv(v):
+            return gather(P_loc @ v)
+
+        def Atmv(w_loc):
+            return lax.psum(At_loc @ w_loc, axis)
+
+        def Mmv(v, rho_loc):
+            return Pmv(v) + sigma_t * v + Atmv(rho_loc * (A_loc @ v))
+
+        dinv0 = 1.0 / diag_M
+        # split diag_M into its rho-independent part so adaptive rho can
+        # rebuild the preconditioner without the host
+        gram0 = lax.psum(A2t_loc @ rho_loc0, axis)
+        diagPsig = diag_M - gram0
+
+        def pcg(rhs, xk, rho_loc, dinv):
+            b_norm = jnp.sqrt(rhs @ rhs)
+            tol = jnp.maximum(cg_tol_t * b_norm, jnp.finfo(dtype).tiny)
+            r0 = rhs - Mmv(xk, rho_loc)
+            zz0 = dinv * r0
+
+            def cond(cr):
+                xk, r, zv, p, rz, k = cr
+                return (jnp.sqrt(r @ r) > tol) & (k < cg_cap)
+
+            def body(cr):
+                xk, r, zv, p, rz, k = cr
+                Mp = Mmv(p, rho_loc)
+                denom = p @ Mp
+                a = rz / jnp.where(denom != 0, denom, 1.0)
+                xk = xk + a * p
+                r = r - a * Mp
+                zv = dinv * r
+                rzn = r @ zv
+                beta = rzn / jnp.where(rz != 0, rz, 1.0)
+                return (xk, r, zv, zv + beta * p, rzn, k + 1)
+
+            out = lax.while_loop(cond, body, (xk, r0, zz0, zz0, r0 @ zz0, jnp.int32(0)))
+            return out[0]
+
+        def admm_step(x, z, y, xt_prev, rho_loc, rinv_loc, dinv):
+            b2 = z - rinv_loc * y
+            rhs = sigma_t * x - q + Atmv(rho_loc * b2)
+            x_t = pcg(rhs, xt_prev, rho_loc, dinv)
+            Axt = A_loc @ x_t
+            nu = rho_loc * (Axt - b2)
+            z_t = z + rinv_loc * (nu - y)
+            x_new = alpha_t * x_t + (1 - alpha_t) * x
+            z_rel = alpha_t * z_t + (1 - alpha_t) * z
+            z_new = jnp.clip(z_rel + rinv_loc * y, l_loc, u_loc)
+            y_new = y + rho_loc * (z_rel - z_new)
+            return x_new, z_new, y_new, x_t
+
+        def colmax_sh(v_loc):
+            return lax.pmax(jnp.max(jnp.abs(v_loc), initial=0.0), axis)
+
+        def check(x, z, y):
+            """Unscaled residual norms + tolerances (ref _osqp.py:705-794)."""
+            Ax = A_loc @ x
+            Px = Pmv(x)
+            Aty = Atmv(y)
+            pri = colmax_sh(Einv_loc * (Ax - z))
+            dua = data_cinv * jnp.max(jnp.abs(Dinv * (Px + q + Aty)))
+            eps_pri = eps_abs_t + eps_rel_t * jnp.maximum(
+                colmax_sh(Einv_loc * Ax), colmax_sh(Einv_loc * z)
+            )
+            eps_dua = eps_abs_t + eps_rel_t * data_cinv * jnp.maximum(
+                jnp.maximum(jnp.max(jnp.abs(Dinv * Aty)), jnp.max(jnp.abs(Dinv * Px))),
+                jnp.max(jnp.abs(Dinv * q)),
+            )
+            obj = (0.5 * (x @ Px) + q @ x) * data_cinv
+            # normalized residuals for the rho estimate (ref _osqp.py:880-908)
+            pri_n = colmax_sh(Ax - z) / (
+                jnp.maximum(colmax_sh(Ax), colmax_sh(z)) + 1e-10
+            )
+            dua_n = jnp.max(jnp.abs(Px + q + Aty)) / (
+                jnp.maximum(
+                    jnp.maximum(jnp.max(jnp.abs(Aty)), jnp.max(jnp.abs(Px))),
+                    jnp.max(jnp.abs(q)),
+                ) + 1e-10
+            )
+            return pri, dua, eps_pri, eps_dua, obj, pri_n, dua_n
+
+        def cond(st):
+            (x, z, y, xt, rho_loc, rinv, dinv, rho_s, it, done, pri, dua,
+             obj, rupd) = st
+            return (it < max_iter) & (~done)
+
+        def body(st):
+            (x, z, y, xt, rho_loc, rinv, dinv, rho_s, it, done, pri, dua,
+             obj, rupd) = st
+
+            def inner(_, c):
+                return admm_step(*c, rho_loc, rinv, dinv)
+
+            x, z, y, xt = lax.fori_loop(0, check_every, inner, (x, z, y, xt))
+            it = it + check_every
+            pri, dua, eps_pri, eps_dua, obj, pri_n, dua_n = check(x, z, y)
+            done = (pri < eps_pri) & (dua < eps_dua)
+
+            # adaptive rho: diagonal-only, nothing to refactorize for CG
+            epoch = it // jnp.maximum(check_every, 1)
+            do_adapt = (
+                jnp.asarray(adaptive_rho)
+                & (epoch % epochs_per_adapt == 0)
+                & (~done)
+            )
+
+            def adapt(args):
+                rho_s, rho_loc, rinv, dinv, rupd = args
+                est = jnp.clip(
+                    rho_s * jnp.sqrt(pri_n / (dua_n + 1e-10)), _RHO_MIN, _RHO_MAX
+                )
+                trig = (est > tolr * rho_s) | (est < rho_s / tolr)
+
+                def apply(_):
+                    new_loc = jnp.where(
+                        types_loc == -1, _RHO_MIN,
+                        jnp.where(types_loc == 1, _RHO_EQ_FACTOR * est, est),
+                    ).astype(dtype)
+                    # preconditioner diag tracks rho: one psum of the local
+                    # gram diagonals diag(A' rho A) = A2t @ rho
+                    gram = lax.psum(A2t_loc @ new_loc, axis)
+                    return (
+                        est, new_loc, 1.0 / new_loc,
+                        1.0 / (diagPsig + gram), rupd + 1,
+                    )
+
+                return lax.cond(trig, apply, lambda _: (rho_s, rho_loc, rinv, dinv, rupd), None)
+
+            rho_s, rho_loc, rinv, dinv, rupd = lax.cond(
+                do_adapt, adapt, lambda a: a, (rho_s, rho_loc, rinv, dinv, rupd)
+            )
+            return (x, z, y, xt, rho_loc, rinv, dinv, rho_s, it, done, pri,
+                    dua, obj, rupd)
+
+        rho_s0 = jnp.max(jnp.where(types_loc == 0, rho_loc0, 0.0), initial=0.0)
+        rho_s0 = lax.pmax(rho_s0, axis)
+        rho_s0 = jnp.where(rho_s0 > 0, rho_s0, f(0.1))
+        st0 = (
+            x_i, z_i, y_i, x_i,
+            rho_loc0, jnp.where(rho_loc0 > 0, 1.0 / rho_loc0, 0.0), dinv0,
+            rho_s0, jnp.int32(0), jnp.zeros((), bool),
+            f(jnp.inf), f(jnp.inf), f(jnp.nan), jnp.int32(0),
+        )
+        (x, z, y, xt, rho_loc, rinv, dinv, rho_s, it, done, pri, dua, obj,
+         rupd) = lax.while_loop(cond, body, st0)
+
+        status = jnp.where(
+            done, jnp.int32(int(SolverStatus.OSQP_SOLVED)),
+            jnp.int32(int(SolverStatus.OSQP_MAX_ITER_REACHED)),
+        )
+        x_out = D * x
+        y_out = data_cinv * (E_loc * y)
+        return BigQPResult(
+            x=x_out, y=y_out[None], z=z[None],
+            status=status, iters=it, pri_res=pri, dua_res=dua, obj_val=obj,
+            rho=rho_s, rho_updates=rupd,
+        )
+
+    res = run(
+        data.pdata, data.pidx, data.adata, data.aidx, data.q,
+        data.l, data.u, data.rho_vec, data.types,
+        data.diag_M, data.D, data.Dinv, data.E, data.Einv, data.cinv,
+        x_init, z_init, y_init,
+    )
+    # un-pad the row-sharded outputs
+    return res._replace(
+        y=res.y.reshape(-1)[:m],
+        z=res.z.reshape(-1)[:m],
+    )

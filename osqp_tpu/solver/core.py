@@ -103,6 +103,8 @@ class Settings(NamedTuple):
     max_iter: jax.Array  # int32
     check_termination: jax.Array  # int32 (0 = never)
     scaled_termination: jax.Array  # bool
+    check_dualgap: jax.Array  # bool: SOLVED additionally requires a small
+    # duality gap (OSQP v1 C-core criterion; not in the purepy mirror)
     adaptive_rho: jax.Array  # bool
     adaptive_rho_interval: jax.Array  # int32 (effective, host-aligned)
     adaptive_rho_tolerance: jax.Array
@@ -541,6 +543,13 @@ def termination_status(
     noncvx = (pri_res > OSQP_INFTY) | (dua_res > OSQP_INFTY)
     pri_check = pri_res < eps_pri if m else jnp.ones((), bool)
     dua_check = dua_res < eps_dua
+    # duality-gap criterion (OSQP v1 C core; gated by check_dualgap):
+    # |obj - dual_obj| < eps_abs + eps_rel * max(|obj|, |dual_obj|)
+    gap = obj_val - dual_obj
+    eps_gap = eps_abs + eps_rel * jnp.maximum(jnp.abs(obj_val), jnp.abs(dual_obj))
+    gap_ok = (~settings.check_dualgap) | (
+        jnp.isfinite(gap) & (jnp.abs(gap) < eps_gap)
+    )
     pinf = jnp.where(
         pri_check, False, primal_infeasibility(data, scal, st.delta_y, eps_pinf, unscaled)
     )
@@ -556,7 +565,7 @@ def termination_status(
         noncvx,
         _NON_CVX,
         jnp.where(
-            pri_check & dua_check,
+            pri_check & dua_check & gap_ok,
             solved_code,
             jnp.where(pinf, pinf_code, jnp.where(dinf, dinf_code, _UNSOLVED)),
         ),
@@ -906,37 +915,67 @@ def polish(
 ) -> PolishResult:
     """Active-set polish.  The data-dependent reduced system is handled
     shape-stably: inactive rows of A are masked to zero, which makes the
-    (2,2) block enforce ``y_i = 0`` exactly for inactive constraints."""
+    (2,2) block enforce ``y_i = 0`` exactly for inactive constraints.
+
+    Dense data: Cholesky of the Schur form.  BCOO data (sparse/large mode):
+    diagonally-preconditioned CG on the same operator - matvec-only, so the
+    reduced system is never materialized."""
     n = data.P.shape[0]
     m = data.A.shape[0]
     dtype = x.dtype
+    sparse_mode = _is_sparse(data.P)
 
     if m:
         low = (z - data.l) < -y  # lower-active guess (ref _osqp.py:1719)
         upp = (data.u - z) < y  # upper-active guess (ref _osqp.py:1720)
         active = low | upp
         mask = active.astype(dtype)
-        Ared = mask[:, None] * data.A
         b2 = jnp.where(low, data.l, jnp.where(upp, data.u, 0.0))
     else:
         active = jnp.zeros((0,), bool)
         mask = jnp.zeros((0,), dtype)
-        Ared = data.A
         b2 = jnp.zeros((0,), dtype)
+
+    # masked-row products: Ared = diag(mask) A, never materialized
+    def ared_mv(v):
+        return mask * (data.A @ v) if m else jnp.zeros((0,), dtype)
+
+    def aredt_mv(w):
+        return data.A.T @ (mask * w) if m else jnp.zeros((n,), dtype)
 
     # Reduced KKT [[P+dI, Ared'],[Ared, -dI]] solved via its Schur form
     # M = P + dI + Ared' (1/d) Ared ; inactive rows yield y_i = 0.
-    M = data.P + delta * jnp.eye(n, dtype=dtype)
-    if m:
-        M = M + Ared.T @ (Ared / delta)
-    L = jnp.linalg.cholesky(M)
+    if sparse_mode:
+        diag_M = mat_diag(data.P) + delta
+        if m:
+            diag_M = diag_M + gram_diag(data.A, mask / delta)
+        dinv = 1.0 / diag_M
+        cg_tol = jnp.asarray(
+            1e-12 if dtype == jnp.float64 else 1e-7, dtype
+        )
+
+        def schur_solve(rhs):
+            xs, _ = pcg_solve(
+                data.P, data.A, delta, mask / delta, diag_M, rhs,
+                jnp.zeros((n,), dtype), cg_tol, jnp.int32(4 * n),
+            )
+            return xs
+    else:
+        M = data.P + delta * jnp.eye(n, dtype=dtype)
+        if m:
+            Ared = mask[:, None] * data.A
+            M = M + Ared.T @ (Ared / delta)
+        L = jnp.linalg.cholesky(M)
+
+        def schur_solve(rhs):
+            return _cho_solve(L, rhs)
 
     b1 = -data.q
 
     def kkt_solve(r1, r2):
-        rhs = r1 + (Ared.T @ (r2 / delta) if m else 0.0)
-        xs = _cho_solve(L, rhs)
-        ys = ((Ared @ xs) - r2) / delta if m else jnp.zeros((0,), dtype)
+        rhs = r1 + (aredt_mv(r2 / delta) if m else 0.0)
+        xs = schur_solve(rhs)
+        ys = (ared_mv(xs) - r2) / delta if m else jnp.zeros((0,), dtype)
         return xs, ys
 
     x_pol, y_red = kkt_solve(b1, b2)
@@ -945,8 +984,8 @@ def polish(
     # (ref _osqp.py:1693-1708)
     def refine(i, carry):
         xs, ys = carry
-        r1 = b1 - (data.P @ xs + (Ared.T @ ys if m else 0.0))
-        r2 = b2 - (Ared @ xs if m else jnp.zeros((0,), dtype))
+        r1 = b1 - (data.P @ xs + (aredt_mv(ys) if m else 0.0))
+        r2 = b2 - (ared_mv(xs) if m else jnp.zeros((0,), dtype))
         dx, dy = kkt_solve(r1, r2)
         return (xs + dx, ys + dy)
 
@@ -963,26 +1002,9 @@ def polish(
         z_pol = jnp.zeros((0,), dtype)
         y_pol = jnp.zeros((0,), dtype)
 
-    sub = Settings(
-        sigma=settings.sigma,
-        alpha=settings.alpha,
-        eps_abs=settings.eps_abs,
-        eps_rel=settings.eps_rel,
-        eps_prim_inf=settings.eps_prim_inf,
-        eps_dual_inf=settings.eps_dual_inf,
-        max_iter=settings.max_iter,
-        check_termination=settings.check_termination,
-        scaled_termination=settings.scaled_termination,
-        adaptive_rho=settings.adaptive_rho,
-        adaptive_rho_interval=settings.adaptive_rho_interval,
-        adaptive_rho_tolerance=settings.adaptive_rho_tolerance,
-        rho_is_vec=settings.rho_is_vec,
-        cg_max_iter=settings.cg_max_iter,
-        cg_tol_fraction=settings.cg_tol_fraction,
-        cg_eps_min=settings.cg_eps_min,
-        iter_cap=settings.iter_cap,
+    pri_pol, dua_pol, obj_pol, _, _, _ = compute_info(
+        data, scal, x_pol, z_pol, y_pol, settings
     )
-    pri_pol, dua_pol, obj_pol, _, _, _ = compute_info(data, scal, x_pol, z_pol, y_pol, sub)
 
     # acceptance test (ref _osqp.py:1786-1793)
     success = (

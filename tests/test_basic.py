@@ -128,3 +128,26 @@ def test_warm_start_reuses_iterates(algebra, solver_type, atol, rtol, decimal_to
     first = model.solve()
     second = model.solve()  # warm-started from the optimum
     assert second.info.iter <= first.info.iter
+
+
+def test_check_dualgap(algebra, solver_type, atol, rtol, decimal_tol):
+    """SOLVED with the default check_dualgap=True implies a certified small
+    duality gap (OSQP v1 C-core criterion); disabling the check may only
+    terminate earlier, never later."""
+    P, q, A, l, u = problems.basic_qp()
+    eps = 1e-6
+    opts = dict(verbose=False, eps_abs=eps, eps_rel=eps,
+                solver_type=solver_type, check_termination=1)
+
+    model = osqp.OSQP(algebra=algebra)
+    model.setup(P=P, q=q, A=A, l=l, u=u, check_dualgap=True, **opts)
+    res = model.solve()
+    assert res.info.status_val == 1
+    gap_tol = eps + eps * max(abs(res.info.obj_val), abs(res.info.dual_obj_val))
+    assert abs(res.info.duality_gap) < gap_tol
+
+    model2 = osqp.OSQP(algebra=algebra)
+    model2.setup(P=P, q=q, A=A, l=l, u=u, check_dualgap=False, **opts)
+    res2 = model2.solve()
+    assert res2.info.status_val == 1
+    assert res2.info.iter <= res.info.iter

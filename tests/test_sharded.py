@@ -96,3 +96,66 @@ def test_dp_sharded_batch_qp_solve():
     )
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(res0.x), rtol=1e-9, atol=1e-10)
     assert np.array_equal(np.asarray(res.iters), np.asarray(res0.iters))
+
+
+def _random_sparse_qp(n, m, density, seed=0):
+    rng = np.random.default_rng(seed)
+    Pt = sparse.random(n, n, density=density, random_state=rng)
+    P = (Pt.T @ Pt + 0.1 * sparse.eye(n)).tocsc()
+    q = rng.standard_normal(n)
+    A = sparse.random(m, n, density=density, random_state=rng)
+    A = (A + 0.01 * sparse.random(m, n, density=5.0 / n, random_state=rng)).tocsc()
+    x0 = rng.standard_normal(n)
+    s0 = rng.random(m) + 0.1
+    u = A @ x0 + s0
+    l = u - 2 * s0
+    return P, q, A, l, u
+
+
+@pytest.mark.parametrize('J', [8, 4])
+def test_big_qp_solve_matches_reference(J):
+    """Sharded huge-QP mode (distributed PCG, rows of P/A over the mesh)
+    reproduces the reference solution on a virtual CPU mesh."""
+    from osqp_tpu.parallel.bigqp import big_qp_setup, big_qp_solve
+
+    mesh = _mesh((J,), ('mp',))
+    n, m = 160, 240
+    P, q, A, l, u = _random_sparse_qp(n, m, 0.05, seed=11)
+    # a few equality + loose rows to exercise rho typing
+    l, u = l.copy(), u.copy()
+    l[:5] = u[:5]
+    l[5:8] = -1e30
+    data = big_qp_setup(P, q, A, l, u, J, dtype=jnp.float64)
+    res = big_qp_solve(
+        mesh, data, eps_abs=1e-6, eps_rel=1e-6, max_iter=20000, cg_tol=1e-12,
+    )
+    assert int(res.status) == 1, int(res.status)
+
+    ref = ReferenceSolver()
+    ref.setup(P, q, A, l, u, verbose=False, eps_abs=1e-9, eps_rel=1e-9,
+              max_iter=100000)
+    sol, _ = ref.solve()
+    np.testing.assert_allclose(np.asarray(res.x), sol.x, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.y), sol.y, rtol=1e-3, atol=1e-3)
+
+
+def test_big_qp_warm_start():
+    from osqp_tpu.parallel.bigqp import big_qp_setup, big_qp_solve
+
+    mesh = _mesh((8,), ('mp',))
+    n, m = 120, 160
+    P, q, A, l, u = _random_sparse_qp(n, m, 0.06, seed=12)
+    data = big_qp_setup(P, q, A, l, u, 8, dtype=jnp.float64)
+    res = big_qp_solve(mesh, data, eps_abs=1e-6, eps_rel=1e-6, max_iter=20000)
+    assert int(res.status) == 1
+    cold_iters = int(res.iters)
+
+    # warm restart from the solution: terminates at the first check
+    x_scaled = jnp.asarray(res.x) / data.D
+    res2 = big_qp_solve(
+        mesh, data, eps_abs=1e-6, eps_rel=1e-6, max_iter=20000,
+        x0=x_scaled, z0=res.z, y0=jnp.asarray(res.y) * data.c / np.maximum(
+            np.asarray(data.E.reshape(-1)[:m]), 1e-30),
+    )
+    assert int(res2.status) == 1
+    assert int(res2.iters) <= 25 < cold_iters

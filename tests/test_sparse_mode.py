@@ -103,3 +103,26 @@ def test_sparse_forces_indirect():
                 eps_abs=1e-5, eps_rel=1e-5, max_iter=20000)
     res = model.solve()
     assert res.info.status_val in (1, 2)
+
+
+def test_sparse_polish():
+    """Polish runs in sparse mode (CG on the masked Schur operator) and
+    tightens the solution toward the high-accuracy oracle answer."""
+    n, m = 250, 375
+    P, q, A, l, u = _random_sparse_qp(n, m, 0.02, seed=3)
+    opts = dict(
+        verbose=False, eps_abs=1e-4, eps_rel=1e-4, max_iter=20000,
+        solver_type='indirect', polishing=True,
+    )
+    model = _sparse_solver_model(sparse=True)
+    model.setup(P=P, q=q, A=A, l=l, u=u, **opts)
+    assert model._solver._is_sparse
+    res = model.solve()
+    assert res.info.status_val == 1
+    assert res.info.status_polish == 1, res.info.status_polish
+
+    ref = ReferenceSolver()
+    ref.setup(P, q, A, l, u, verbose=False, eps_abs=1e-9, eps_rel=1e-9, max_iter=40000)
+    sol, info = ref.solve()
+    nptest.assert_allclose(res.x, sol.x, rtol=1e-4, atol=1e-4)
+    nptest.assert_allclose(res.y, sol.y, rtol=1e-4, atol=1e-4)
