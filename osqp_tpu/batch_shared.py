@@ -296,6 +296,28 @@ def _batch_check_shared(P, A, Q, L_b, U_b, scal, settings, X, Z, Y, dX, dY,
     return status, pri_res, dua_res, obj, dual_obj
 
 
+def _iter_precision_mode() -> str:
+    """Matmul precision for the ADMM *iteration* map (trace-time static).
+
+    Termination checks, residuals, certificates and the rho estimate always
+    run at HIGHEST — a solution is only accepted if it passes the full-
+    precision check, so lowering the iteration precision can cost iterations
+    but never correctness.  ``OSQP_TPU_ITER_PRECISION``:
+
+    * ``highest`` — 6-pass bf16 (exact f32; round-1 behavior)
+    * ``high``    — 3-pass bf16 (~f32 accuracy, 2x fewer MXU cycles)
+    * ``default`` — 1-pass bf16 (fastest; ~4e-3 relative noise)
+    """
+    return os.environ.get('OSQP_TPU_ITER_PRECISION', 'highest')
+
+
+_PRECISIONS = {
+    'highest': jax.lax.Precision.HIGHEST,
+    'high': jax.lax.Precision.HIGH,
+    'default': jax.lax.Precision.DEFAULT,
+}
+
+
 def shared_solve(
     P: jax.Array,  # (n, n) scaled shared
     A: jax.Array,  # (m, n) scaled shared
@@ -315,14 +337,14 @@ def shared_solve(
     fused = _fused_epoch_mode(Q.dtype, Q.shape[0], A.shape[0], Q.shape[1])
     return _shared_solve_impl(
         P, A, Q, L_b, U_b, scal, settings, rho0, Minv, M, rho_vec,
-        X0, Z0, Y0, fused=fused,
+        X0, Z0, Y0, fused=fused, iter_prec=_iter_precision_mode(),
     )
 
 
-@functools.partial(jax.jit, static_argnames=('fused',))
+@functools.partial(jax.jit, static_argnames=('fused', 'iter_prec'))
 def _shared_solve_impl(
     P, A, Q, L_b, U_b, scal, settings, rho0, Minv, M, rho_vec,
-    X0, Z0, Y0, *, fused,
+    X0, Z0, Y0, *, fused, iter_prec='highest',
 ):
     n0, B0 = Q.shape
     m0 = A.shape[0]
@@ -389,141 +411,211 @@ def _shared_solve_impl(
         dual_obj_val=jnp.full((B,), jnp.nan, dtype),
     )
 
-    def iteration(F, c0, rvec, rinv, carry):
-        """Affine-form ADMM iteration (same math as the Pallas kernel;
-        see _build_affine)."""
-        S, dX, dY = carry
-        X = S[:n]
-        Y = S[n + m:]
-        V = mm(F, S) + c0
-        Xt = V[:n]
-        Pz = V[n:]
-        Zn = jnp.clip(Pz, L_b, U_b)
-        Yn = Y + rvec[:, None] * (Pz - rinv[:, None] * Y - Zn)
-        Xn = alpha * Xt + (1 - alpha) * X
-        Sn = jnp.concatenate([Xn, Zn, Yn], axis=0)
-        return Sn, Xn - X, Yn - Y
-
-    def check(S, dX, dY, approximate):
-        return _batch_check_shared(
-            P, A, Q, L_b, U_b, scal, settings,
-            S[:n], S[n:n + m], S[n + m:], dX, dY,
-            jnp.asarray(approximate), mm,
-        )
-
-    def cond(st: SharedState):
-        return (st.it < settings.iter_cap) & jnp.any(st.status == _UNSOLVED)
-
     codes = dict(
         solved=int(SolverStatus.OSQP_SOLVED),
         pinf=_PRIM_INF, dinf=_DUAL_INF,
         unsolved=_UNSOLVED, noncvx=int(SolverStatus.OSQP_NON_CVX),
     )
+    # shared constraint typing from the FIRST instance's bound pattern (see
+    # module docstring) — captured before any compaction so both loop phases
+    # type identically
+    l0, u0 = L_b[:, 0], U_b[:, 0]
 
-    def body(st: SharedState):
-        this_epoch = jnp.minimum(epoch_len, settings.iter_cap - st.it)
-        it = st.it + this_epoch
-        active = st.status == _UNSOLVED
-        if fused is not None:
-            # One kernel launch: epoch + merge + termination check + capture,
-            # all (feature, B) traffic stays in VMEM.
-            (S, dX, dY, fS, fdX, fdY,
-             status_new, pri, dua, obj, dobj) = shared_body_pallas(
-                st.F, CH, At, st.rho_vec, st.rho_inv,
-                scal.D, scal.Dinv, scal.E, scal.Einv,
-                st.c0, Q, L_b, U_b, st.S, st.dX, st.dY,
-                st.fS, st.fdX, st.fdY, st.status,
-                settings, scal.c, scal.cinv, codes, this_epoch,
-                interpret=(fused == 'interpret'),
-            )
-            st = st._replace(
-                it=it, S=S, dX=dX, dY=dY, fS=fS, fdX=fdX, fdY=fdY,
-                status=status_new,
-                iters_done=jnp.where(active, it, st.iters_done),
-                pri_res=jnp.where(active, pri, st.pri_res),
-                dua_res=jnp.where(active, dua, st.dua_res),
-                obj_val=jnp.where(active, obj, st.obj_val),
-                dual_obj_val=jnp.where(active, dobj, st.dual_obj_val),
-            )
-        else:
-            F, c0, rvec, rinv = st.F, st.c0, st.rho_vec, st.rho_inv
-            carry = lax.fori_loop(
-                0, this_epoch,
-                lambda k, c: iteration(F, c0, rvec, rinv, c),
-                (st.S, st.dX, st.dY),
-            )
+    def make_loop(Qc, Lc, Uc, B_real):
+        """Build the epoch-loop (cond, body, check) over a column set.
+
+        Per-column math is independent of which other columns share the
+        buffer, so running the still-active tail in a compacted (narrower)
+        buffer is exact — same per-instance trajectories, statuses and
+        iteration counts as the full-width loop.
+        """
+
+        def iteration(F, c0, rvec, rinv, carry):
+            """Affine-form ADMM iteration (same math as the Pallas kernel;
+            see _build_affine)."""
             S, dX, dY = carry
-            st = st._replace(
-                it=it,
-                S=jnp.where(active[None], S, st.S),
-                dX=jnp.where(active[None], dX, st.dX),
-                dY=jnp.where(active[None], dY, st.dY),
+            X = S[:n]
+            Y = S[n + m:]
+            V = jnp.matmul(F, S, preferred_element_type=dtype,
+                           precision=_PRECISIONS.get(iter_prec)) + c0
+            Xt = V[:n]
+            Pz = V[n:]
+            Zn = jnp.clip(Pz, Lc, Uc)
+            Yn = Y + rvec[:, None] * (Pz - rinv[:, None] * Y - Zn)
+            Xn = alpha * Xt + (1 - alpha) * X
+            Sn = jnp.concatenate([Xn, Zn, Yn], axis=0)
+            return Sn, Xn - X, Yn - Y
+
+        def check(S, dX, dY, approximate):
+            return _batch_check_shared(
+                P, A, Qc, Lc, Uc, scal, settings,
+                S[:n], S[n:n + m], S[n + m:], dX, dY,
+                jnp.asarray(approximate), mm,
             )
 
-            status_new, pri, dua, obj, dobj = check(st.S, st.dX, st.dY, False)
-            newly = active & (status_new != _UNSOLVED)
-            st = st._replace(
-                status=jnp.where(newly, status_new, st.status),
-                iters_done=jnp.where(active, it, st.iters_done),
-                pri_res=jnp.where(active, pri, st.pri_res),
-                dua_res=jnp.where(active, dua, st.dua_res),
-                obj_val=jnp.where(active, obj, st.obj_val),
-                dual_obj_val=jnp.where(active, dobj, st.dual_obj_val),
-                fS=jnp.where(newly[None], st.S, st.fS),
-                fdX=jnp.where(newly[None], st.dX, st.fdX),
-                fdY=jnp.where(newly[None], st.dY, st.fdY),
+        def cond(st: SharedState):
+            return (st.it < settings.iter_cap) & jnp.any(st.status == _UNSOLVED)
+
+        def body(st: SharedState):
+            this_epoch = jnp.minimum(epoch_len, settings.iter_cap - st.it)
+            it = st.it + this_epoch
+            active = st.status == _UNSOLVED
+            if fused is not None:
+                # One kernel launch: epoch + merge + termination check +
+                # capture, all (feature, B) traffic stays in VMEM.
+                (S, dX, dY, fS, fdX, fdY,
+                 status_new, pri, dua, obj, dobj) = shared_body_pallas(
+                    st.F, CH, At, st.rho_vec, st.rho_inv,
+                    scal.D, scal.Dinv, scal.E, scal.Einv,
+                    st.c0, Qc, Lc, Uc, st.S, st.dX, st.dY,
+                    st.fS, st.fdX, st.fdY, st.status,
+                    settings, scal.c, scal.cinv, codes, this_epoch,
+                    interpret=(fused == 'interpret'),
+                    iter_mode=iter_prec,
+                )
+                st = st._replace(
+                    it=it, S=S, dX=dX, dY=dY, fS=fS, fdX=fdX, fdY=fdY,
+                    status=status_new,
+                    iters_done=jnp.where(active, it, st.iters_done),
+                    pri_res=jnp.where(active, pri, st.pri_res),
+                    dua_res=jnp.where(active, dua, st.dua_res),
+                    obj_val=jnp.where(active, obj, st.obj_val),
+                    dual_obj_val=jnp.where(active, dobj, st.dual_obj_val),
+                )
+            else:
+                F, c0, rvec, rinv = st.F, st.c0, st.rho_vec, st.rho_inv
+                carry = lax.fori_loop(
+                    0, this_epoch,
+                    lambda k, c: iteration(F, c0, rvec, rinv, c),
+                    (st.S, st.dX, st.dY),
+                )
+                S, dX, dY = carry
+                st = st._replace(
+                    it=it,
+                    S=jnp.where(active[None], S, st.S),
+                    dX=jnp.where(active[None], dX, st.dX),
+                    dY=jnp.where(active[None], dY, st.dY),
+                )
+
+                status_new, pri, dua, obj, dobj = check(st.S, st.dX, st.dY, False)
+                newly = active & (status_new != _UNSOLVED)
+                st = st._replace(
+                    status=jnp.where(newly, status_new, st.status),
+                    iters_done=jnp.where(active, it, st.iters_done),
+                    pri_res=jnp.where(active, pri, st.pri_res),
+                    dua_res=jnp.where(active, dua, st.dua_res),
+                    obj_val=jnp.where(active, obj, st.obj_val),
+                    dual_obj_val=jnp.where(active, dobj, st.dual_obj_val),
+                    fS=jnp.where(newly[None], st.S, st.fS),
+                    fdX=jnp.where(newly[None], st.dX, st.fdX),
+                    fdY=jnp.where(newly[None], st.dY, st.fdY),
+                )
+
+            epoch_idx = (it + epoch_len - 1) // jnp.maximum(epoch_len, 1)
+            do_adapt = (
+                settings.adaptive_rho
+                & (settings.adaptive_rho_interval > 0)
+                & (epoch_idx % epochs_per_adapt == 0)
+                & jnp.any(st.status == _UNSOLVED)
             )
 
-        epoch_idx = (it + epoch_len - 1) // jnp.maximum(epoch_len, 1)
-        do_adapt = (
-            settings.adaptive_rho
-            & (settings.adaptive_rho_interval > 0)
-            & (epoch_idx % epochs_per_adapt == 0)
-            & jnp.any(st.status == _UNSOLVED)
+            def adapt(st: SharedState):
+                # batch rho estimate over still-active instances, as 2 stacked
+                # matmuls + columnwise reductions (the vmapped per-instance
+                # core.rho_estimate_fn lowers ~13x slower; exact equivalence
+                # is pinned by test_rho_estimate_equivalence).  Real columns
+                # only: padded columns would bias the median.
+                ests = _batch_rho_estimate(
+                    CH, At, n, Qc[:, :B_real], st.S[:n, :B_real],
+                    st.S[n:n + m, :B_real], st.S[n + m:, :B_real], st.rho, mm,
+                )
+                still = st.status[:B_real] == _UNSOLVED
+                # masked median over still-ACTIVE instances (solved instances
+                # no longer inform the step-size balance; also keeps the
+                # estimate invariant under tail compaction)
+                cnt = jnp.sum(still)
+                vals = jnp.sort(jnp.where(still, ests, jnp.inf))
+                med_lo = vals[jnp.maximum(cnt - 1, 0) // 2]
+                med_hi = vals[jnp.minimum(cnt // 2, vals.shape[0] - 1)]
+                rho_new = jnp.where(cnt > 0, 0.5 * (med_lo + med_hi), st.rho)
+                tolr = settings.adaptive_rho_tolerance
+                trig = (rho_new > tolr * st.rho) | (rho_new < st.rho / tolr)
+
+                def do(st):
+                    types = core.constraint_types(l0, u0)
+                    vec = core.rho_vec_from_types(types, rho_new, settings.rho_is_vec)
+                    fac = core.factorize(P, A, sigma, vec, 'inv')
+                    rinv = jnp.where(vec > 0, 1.0 / vec, 0.0)
+                    F_new, c0_new = _build_affine(
+                        A, At, fac.Minv, fac.L, vec, rinv, sigma, alpha, Qc, mm, dtype
+                    )
+                    return st._replace(
+                        rho=jnp.clip(rho_new, 1e-6, 1e6),
+                        rho_vec=vec,
+                        rho_inv=rinv,
+                        Minv=fac.Minv,
+                        M=fac.L,
+                        F=F_new,
+                        c0=c0_new,
+                        rho_updates=st.rho_updates + 1,
+                    )
+
+                return lax.cond(trig, do, lambda s: s, st)
+
+            st = lax.cond(do_adapt, adapt, lambda s: s, st)
+            return st
+
+        return cond, body, check
+
+    cond_full, body_full, check = make_loop(Q, L_b, U_b, B0)
+
+    # Straggler compaction: once the active tail fits a narrow buffer, gather
+    # it and finish there — the slowest instance no longer forces full-batch
+    # epochs.  Exact (see make_loop docstring); worth ~2-4x on cold batches
+    # whose max iteration count is ~5x the mean.
+    tail_width = max(128, _round_up(B0 // 16, 128))
+    do_compact = B0 >= 4 * tail_width and m > 0
+
+    if do_compact:
+        thr = jnp.int32(tail_width)
+        st = lax.while_loop(
+            lambda s: cond_full(s) & (jnp.sum(s.status == _UNSOLVED) > thr),
+            body_full, st,
         )
+        # gather still-active columns (fill duplicates column 0 — its values
+        # are recomputed identically and scattered back unchanged)
+        idx = jnp.nonzero(st.status == _UNSOLVED, size=tail_width, fill_value=0)[0]
 
-        def adapt(st: SharedState):
-            # batch rho estimate over still-active instances, as 2 stacked
-            # matmuls + columnwise reductions (the vmapped per-instance
-            # core.rho_estimate_fn lowers ~13x slower; exact equivalence is
-            # pinned by test_rho_estimate_equivalence).  Real columns only:
-            # padded columns would bias the median.
-            ests = _batch_rho_estimate(
-                CH, At, n, Q[:, :B0], st.S[:n, :B0], st.S[n:n + m, :B0],
-                st.S[n + m:, :B0], st.rho, mm,
-            )
-            still = st.status[:B0] == _UNSOLVED
-            # median over active instances (inactive -> current rho)
-            ests = jnp.where(still, ests, st.rho)
-            rho_new = jnp.median(ests)
-            tolr = settings.adaptive_rho_tolerance
-            trig = (rho_new > tolr * st.rho) | (rho_new < st.rho / tolr)
+        def g2(V):
+            return V[:, idx]
 
-            def do(st):
-                types = core.constraint_types(L_b[:, 0], U_b[:, 0])
-                vec = core.rho_vec_from_types(types, rho_new, settings.rho_is_vec)
-                fac = core.factorize(P, A, sigma, vec, 'inv')
-                rinv = jnp.where(vec > 0, 1.0 / vec, 0.0)
-                F_new, c0_new = _build_affine(
-                    A, At, fac.Minv, fac.L, vec, rinv, sigma, alpha, Q, mm, dtype
-                )
-                return st._replace(
-                    rho=jnp.clip(rho_new, 1e-6, 1e6),
-                    rho_vec=vec,
-                    rho_inv=rinv,
-                    Minv=fac.Minv,
-                    M=fac.L,
-                    F=F_new,
-                    c0=c0_new,
-                    rho_updates=st.rho_updates + 1,
-                )
+        stc = st._replace(
+            S=g2(st.S), dX=g2(st.dX), dY=g2(st.dY),
+            fS=g2(st.fS), fdX=g2(st.fdX), fdY=g2(st.fdY), c0=g2(st.c0),
+            status=st.status[idx], iters_done=st.iters_done[idx],
+            pri_res=st.pri_res[idx], dua_res=st.dua_res[idx],
+            obj_val=st.obj_val[idx], dual_obj_val=st.dual_obj_val[idx],
+        )
+        cond_t, body_t, _ = make_loop(g2(Q), g2(L_b), g2(U_b), tail_width)
+        stc = lax.while_loop(cond_t, body_t, stc)
 
-            return lax.cond(trig, do, lambda s: s, st)
+        def s2(V, Vc):
+            return V.at[:, idx].set(Vc)
 
-        st = lax.cond(do_adapt, adapt, lambda s: s, st)
-        return st
-
-    st = lax.while_loop(cond, body, st)
+        st = st._replace(
+            S=s2(st.S, stc.S), dX=s2(st.dX, stc.dX), dY=s2(st.dY, stc.dY),
+            fS=s2(st.fS, stc.fS), fdX=s2(st.fdX, stc.fdX), fdY=s2(st.fdY, stc.fdY),
+            status=st.status.at[idx].set(stc.status),
+            iters_done=st.iters_done.at[idx].set(stc.iters_done),
+            pri_res=st.pri_res.at[idx].set(stc.pri_res),
+            dua_res=st.dua_res.at[idx].set(stc.dua_res),
+            obj_val=st.obj_val.at[idx].set(stc.obj_val),
+            dual_obj_val=st.dual_obj_val.at[idx].set(stc.dual_obj_val),
+            it=stc.it, rho=stc.rho, rho_vec=stc.rho_vec, rho_inv=stc.rho_inv,
+            Minv=stc.Minv, M=stc.M, rho_updates=stc.rho_updates,
+        )
+    else:
+        st = lax.while_loop(cond_full, body_full, st)
 
     # post-loop max-iter handling
     active = st.status == _UNSOLVED

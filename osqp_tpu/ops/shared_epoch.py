@@ -74,7 +74,10 @@ def _round_up(x: int, k: int) -> int:
 
 def _body_kernel(
     n: int, m: int,  # static, bound via functools.partial
-    iter_precision,  # lax.Precision for the iteration matmul (check stays HIGHEST)
+    iter_mode: str,  # iteration-matmul precision: 'highest' (6-pass bf16,
+    # exact f32), 'high' (3-pass via manual bf16 hi/lo split — Mosaic has no
+    # native Precision.HIGH), 'default' (1 bf16 pass).  The termination
+    # check always runs HIGHEST.
     scal_ref,  # SMEM (15,) f32, slots above
     F_ref,  # (n+m, n+2m) affine iteration map
     CH_ref,  # (n+m, n) stacked [P; A] for residual matvecs
@@ -142,12 +145,31 @@ def _body_kernel(
     # ---- 1. K ADMM iterations (ref _osqp.py:644-703, affine form) ----
     # (explicit int32-counter while_loop: fori_loop's induction variable is
     # i64 under x64 mode, which Mosaic cannot lower)
+    if iter_mode == 'high':
+        # 3-pass f32 emulation: F = F_hi + F_lo in bf16 halves (split once —
+        # F is tiny), S split per iteration; drop the F_lo@S_lo term
+        # (O(eps_bf16^2) ~ 1.5e-5 relative — far below solver tolerances).
+        F_hi = F.astype(jnp.bfloat16)
+        F_lo = (F - F_hi.astype(dtype)).astype(jnp.bfloat16)
+
+        def iter_mm(S):
+            S_hi = S.astype(jnp.bfloat16)
+            S_lo = (S - S_hi.astype(dtype)).astype(jnp.bfloat16)
+            d = functools.partial(jnp.dot, preferred_element_type=dtype,
+                                  precision=jax.lax.Precision.DEFAULT)
+            return d(F_hi, S_hi) + (d(F_hi, S_lo) + d(F_lo, S_hi))
+    else:
+        prec = (jax.lax.Precision.DEFAULT if iter_mode == 'default'
+                else jax.lax.Precision.HIGHEST)
+
+        def iter_mm(S):
+            return jnp.dot(F, S, preferred_element_type=dtype, precision=prec)
+
     def body(carry):
         i, S, dX, dY = carry
         X = S[:n]
         Y = S[n + m:]
-        V = jnp.dot(F, S, preferred_element_type=dtype,
-                    precision=iter_precision) + c0
+        V = iter_mm(S) + c0
         Xt = V[:n]
         Pz = V[n:]
         Zn = jnp.clip(Pz, L, U)
@@ -307,7 +329,7 @@ def shared_body_pallas(
     F, CH, At, rho_vec, rho_inv, D, Dinv, E, Einv,
     c0, Q, L, U, S, dX, dY, fS, fdX, fdY, status,
     settings, c, cinv, codes, K,
-    *, interpret: bool = False, iter_precision=None,
+    *, interpret: bool = False, iter_mode: str = 'highest',
 ):
     """One fused while-loop body: K affine ADMM iterations + merge +
     termination check + capture.  All arrays pre-padded (features to
@@ -370,10 +392,8 @@ def shared_body_pallas(
         row, row, row, row, row,
     ]
 
-    if iter_precision is None:
-        iter_precision = jax.lax.Precision.HIGHEST
     outs = pl.pallas_call(
-        functools.partial(_body_kernel, n, m, iter_precision),
+        functools.partial(_body_kernel, n, m, iter_mode),
         grid=grid,
         in_specs=[
             pl.BlockSpec((16,), lambda i: (jnp.int32(0),),

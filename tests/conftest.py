@@ -20,6 +20,15 @@ if '--xla_force_host_platform_device_count' not in os.environ.get('XLA_FLAGS', '
         os.environ.get('XLA_FLAGS', '') + ' --xla_force_host_platform_device_count=8'
     )
 
+# Persistent XLA compilation cache: the solver cores are large fused programs
+# (~1-2 min compiles on CPU); repeated suite runs reuse them.
+os.environ.setdefault(
+    'JAX_COMPILATION_CACHE_DIR',
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), '.jax_cache'),
+)
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '0')
+
 import jax
 
 jax.config.update('jax_enable_x64', True)
