@@ -104,7 +104,19 @@ def export_workspace(solver):
 
 
 def generate(model, folder, parameters='vectors', extension_name='emosqp',
-             force_rewrite=False, use_float=False, prefix='', compile=False):
+             force_rewrite=False, use_float=False, prefix='', compile=False,
+             printing_enable=False, profiling_enable=False,
+             interrupt_enable=False, derivatives_enable=False):
+    """Emit the embedded C project.
+
+    The enable flags mirror the reference's OSQPCodegenDefines
+    (reference src/osqp/interface.py:469-477): each one compiles the
+    corresponding subsystem in or out of the emitted C (printing = progress
+    rows via printf, profiling = clock_gettime run_time, interrupt =
+    cooperative interrupt flag polled at termination checks,
+    derivatives = reserved define, always emitted for parity — the
+    reference hardcodes derivatives_enable = 0 too).
+    """
     ws = export_workspace(model._solver)
     mode = 1 if parameters == 'vectors' else 2
     n, m = ws['n'], ws['m']
@@ -140,7 +152,10 @@ def generate(model, folder, parameters='vectors', extension_name='emosqp',
         '@FLOAT@': cfloat,
         '@NPY_FLOAT@': npy_float,
         '@EXT_NAME@': extension_name or 'emosqp',
-        '@PROFILING@': '1',
+        '@PROFILING@': '1' if profiling_enable else '0',
+        '@PRINTING@': '1' if printing_enable else '0',
+        '@INTERRUPT@': '1' if interrupt_enable else '0',
+        '@DERIVATIVES@': '1' if derivatives_enable else '0',
     }
     if mode == 2:
         tokens['@PATTERN_DECLS@'] = (

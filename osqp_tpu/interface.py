@@ -443,12 +443,15 @@ class OSQP:
         printing_enable=False,
         profiling_enable=False,
         interrupt_enable=False,
+        derivatives_enable=False,
         include_codegen_src=True,
         prefix='',
         compile=False,
     ):
         """Generate an embedded solver with baked problem data
-        (reference interface.py:449-517; see osqp_tpu/codegen)."""
+        (reference interface.py:449-517; see osqp_tpu/codegen).  The
+        ``*_enable`` flags are compiled into the emitted C like the
+        reference's OSQPCodegenDefines (reference interface.py:469-477)."""
         assert self.has_capability('OSQP_CAPABILITY_CODEGEN'), 'This OSQP object does not support codegen'
         assert parameters in ('vectors', 'matrices'), 'Unknown parameters specification'
 
@@ -463,6 +466,10 @@ class OSQP:
             use_float=use_float,
             prefix=prefix,
             compile=compile,
+            printing_enable=printing_enable,
+            profiling_enable=profiling_enable,
+            interrupt_enable=interrupt_enable,
+            derivatives_enable=derivatives_enable,
         )
 
     # -- derivatives -------------------------------------------------------

@@ -156,6 +156,71 @@ def test_codegen_matrices_update_A(mat_module):
     mod.update_data_mat(A_x=A.tocsc().data)
 
 
+def _tiny_model():
+    P = sparse.diags([11.0, 0.0], format='csc')
+    q = np.array([3.0, 4.0])
+    A = sparse.csc_matrix([[-1, 0], [0, -1], [-1, -3], [2, 5], [3, 4]], dtype=float)
+    u = np.array([0.0, 0.0, -15.0, 100.0, 80.0])
+    l = -np.inf * np.ones(len(u))
+    model = osqp.OSQP(algebra='numpy')
+    model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False, eps_abs=1e-6, eps_rel=1e-6)
+    return model
+
+
+def test_codegen_defines_change_emitted_c(tmp_path):
+    """printing/profiling/interrupt/derivatives flags must alter the emitted C
+    (reference wires them via OSQPCodegenDefines, interface.py:469-477)."""
+    model = _tiny_model()
+
+    off = str(tmp_path / 'off')
+    model.codegen(off, extension_name=None, force_rewrite=True)
+    src_off = (tmp_path / 'off' / 'emosqp_solver.c').read_text()
+    assert '#define EMB_PRINTING 0' in src_off
+    assert '#define EMB_PROFILING 0' in src_off
+    assert '#define EMB_INTERRUPT 0' in src_off
+    assert '#define EMB_DERIVATIVES 0' in src_off
+
+    on = str(tmp_path / 'on')
+    model.codegen(on, extension_name=None, force_rewrite=True,
+                  printing_enable=True, profiling_enable=True,
+                  interrupt_enable=True, derivatives_enable=True)
+    src_on = (tmp_path / 'on' / 'emosqp_solver.c').read_text()
+    hdr_on = (tmp_path / 'on' / 'workspace.h').read_text()
+    assert '#define EMB_PRINTING 1' in src_on
+    assert '#define EMB_PROFILING 1' in src_on
+    assert '#define EMB_INTERRUPT 1' in src_on
+    assert '#define EMB_DERIVATIVES 1' in src_on
+    assert 'osqp_request_interrupt' in src_on
+    assert 'osqp_request_interrupt' in hdr_on
+    assert src_on != src_off
+
+
+@pytest.mark.parametrize('use_float', [False, True])
+def test_codegen_defines_compile_both_widths(tmp_path, use_float, capfd):
+    """All flags on must still compile (both float widths) and solve; printing
+    emits progress rows on stdout."""
+    model = _tiny_model()
+    folder = str(tmp_path / f'flags_{int(use_float)}')
+    ext = f'em_flags_{int(use_float)}'
+    model_dir = model.codegen(
+        folder, extension_name=ext, force_rewrite=True, compile=True,
+        use_float=use_float, printing_enable=True, profiling_enable=True,
+        interrupt_enable=True,
+    )
+    sys.path.insert(0, model_dir)
+    try:
+        mod = __import__(ext)
+        x, y, status, niter, run_time = mod.solve()
+    finally:
+        sys.path.remove(model_dir)
+    decimal = 3 if use_float else 5
+    nptest.assert_array_almost_equal(x, np.array([0.0, 5.0]), decimal=decimal)
+    assert status == 1
+    assert run_time > 0  # profiling compiled in
+    out = capfd.readouterr().out
+    assert 'iter' in out and 'status' in out  # printing compiled in
+
+
 def test_codegen_aot_export():
     """TPU-native AOT 'codegen': compiled fixed-shape executable."""
     import jax.numpy as jnp
