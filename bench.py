@@ -22,12 +22,18 @@ import time
 
 import numpy as np
 
-# persistent XLA compilation cache: repeated bench runs (e.g. the driver's)
-# skip the multi-minute compile of the scan-of-solves program
-os.environ.setdefault(
-    'JAX_COMPILATION_CACHE_DIR',
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache'),
-)
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeated bench runs (e.g. the
+    driver's) skip recompiling the scan-of-solves program.  This jax build
+    ignores the JAX_COMPILATION_CACHE_DIR env var; use the config API."""
+    import jax
+
+    jax.config.update(
+        'jax_compilation_cache_dir',
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache'),
+    )
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 
 
 def build_problems(B, n, m, seed=0):
@@ -67,6 +73,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    _enable_compile_cache()
+
     from osqp_tpu._oracle.solver import OracleSettings
     from osqp_tpu.batch import default_core_settings
     from osqp_tpu.batch_shared import shared_mpc_rollout, shared_setup
@@ -95,11 +103,15 @@ def main():
     carry, (xs, iters, statuses) = rollout()  # compile + warmup
     jax.block_until_ready(xs)
 
-    # The axon backend defers some one-time work (final linking / data
-    # upload) past block_until_ready, so the FIRST timed batch can be >10x
-    # slower than steady state.  Time several batches and report the median
-    # of the later ones.
-    reps, batches = 3, 4
+    # Steady-state throughput: the axon tunnel charges a ~50 ms host<->device
+    # roundtrip to any SYNCHRONIZED call, but dispatch is async and the
+    # device queue pipelines back-to-back executions (measured r3: 1 rep =
+    # 50 ms/rollout, 30 reps = 5.3 ms/rollout for identical programs).
+    # Production batched-MPC serving is a continuous stream, so the headline
+    # is the sustained rate: many rollouts per synchronization, median over
+    # batches, first batch discarded (one-time lazy linking).  Per-call
+    # latency is reported separately in detail.latency_ms.
+    reps, batches = 30, 4
     times = []
     for _ in range(batches):
         t0 = time.perf_counter()
@@ -109,33 +121,65 @@ def main():
         jax.block_until_ready(jnp.zeros(1) + 1)  # flush lazy-completion backends
         times.append((time.perf_counter() - t0) / reps)
     elapsed = float(np.median(times[1:]))
+
+    # single-call (synchronized) latency, for the latency-sensitive reader
+    t0 = time.perf_counter()
+    carry, (xs, iters, statuses) = rollout()
+    jax.block_until_ready(xs)
+    jax.block_until_ready(jnp.zeros(1) + 1)
+    latency_ms = (time.perf_counter() - t0) * 1e3
     throughput = B * steps / elapsed
     statuses_np = np.asarray(statuses)
     iters_np = np.asarray(iters)
     solved_frac = float((statuses_np == 1).mean())
 
-    # CPU reference-core baseline on a subsample (same algorithm/tolerances)
-    import scipy.sparse as sp
+    # MFU: useful ADMM-iteration flops (the (n+m, n+2m) affine map per
+    # instance per iteration) at the sustained rate, vs the chip's bf16 peak
+    # (TPU v5e: 197 TFLOP/s).  Methodology in benchmarks/RESULTS.md.
+    flops_per_iter = 2 * (n + m) * (n + 2 * m)
+    useful_flops = throughput * float(iters_np.mean()) * flops_per_iter
+    mfu = round(useful_flops / 197e12, 5)
 
-    from osqp_tpu._oracle.solver import ReferenceSolver
+    # Compiled-C baseline (honest OSQP-C stand-in): the repo's own
+    # codegen-emitted embedded C solver at -O3 driving the same warm
+    # update(q)+solve loop on one CPU core.  The real OSQP C core cannot be
+    # built here (no network egress to fetch it); this is the same ADMM
+    # algorithm in compiled C at the same tolerances — methodology in
+    # benchmarks/RESULTS.md.  Falls back to the float64 scipy oracle if the
+    # C toolchain is unavailable.
+    qs_host = np.asarray(q_seq).transpose(0, 2, 1).astype(np.float64)
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), 'tools'))
+        from bench_c_baseline import measure_c_baseline
 
-    B_ref = min(16, B)
-    opts = dict(eps_abs=eps, eps_rel=eps, max_iter=4000, verbose=False)
-    solvers = []
-    P_csc, A_csc = sp.csc_matrix(P), sp.csc_matrix(A)
-    for b in range(B_ref):
-        s = ReferenceSolver()
-        s.setup(P_csc, q[b], A_csc, l[b], u[b], **opts)
-        s.solve()
-        solvers.append(s)
-    qs_host = np.asarray(q_seq).transpose(0, 2, 1)
-    t0 = time.perf_counter()
-    for k in range(steps):
-        for b, s in enumerate(solvers):
-            s.update_data_vec(q=qs_host[k, b % B_ref])
+        cres = measure_c_baseline(P, q, A, l, u, qs_host, eps)
+        ref_throughput = cres['solves_per_s']
+        baseline_label = cres['label']
+    except Exception as e:  # pragma: no cover - toolchain-dependent
+        import scipy.sparse as sp
+
+        from osqp_tpu._oracle.solver import ReferenceSolver
+
+        B_ref = min(16, B)
+        opts = dict(eps_abs=eps, eps_rel=eps, max_iter=4000, verbose=False)
+        solvers = []
+        P_csc, A_csc = sp.csc_matrix(P), sp.csc_matrix(A)
+        for b in range(B_ref):
+            s = ReferenceSolver()
+            s.setup(P_csc, q[b], A_csc, l[b], u[b], **opts)
             s.solve()
-    ref_elapsed = time.perf_counter() - t0
-    ref_throughput = B_ref * steps / ref_elapsed
+            solvers.append(s)
+        t0 = time.perf_counter()
+        for k in range(steps):
+            for b, s in enumerate(solvers):
+                s.update_data_vec(q=qs_host[k, b % B_ref])
+                s.solve()
+        ref_elapsed = time.perf_counter() - t0
+        ref_throughput = B_ref * steps / ref_elapsed
+        baseline_label = (
+            f'float64 reference core (scipy splu), sequential CPU '
+            f'[C baseline unavailable: {e}]'
+        )
 
     print(
         json.dumps(
@@ -154,8 +198,10 @@ def main():
                     'setup_time_s': round(setup_time, 3),
                     'device': str(jax.devices()[0]),
                     'engine': 'shared-structure batched ADMM (MXU matmuls)',
-                    'baseline': 'float64 reference core (scipy splu), sequential CPU',
+                    'baseline': baseline_label,
                     'baseline_solves_per_s': round(ref_throughput, 2),
+                    'mfu': mfu,
+                    'latency_ms': round(latency_ms, 2),
                 },
             }
         )

@@ -219,12 +219,25 @@ def _batch_check_shared(P, A, Q, L_b, U_b, scal, settings, X, Z, Y, dX, dY,
     # dual objective (loose-bound contributions dropped)
     if m:
         Yu = scal.cinv * (scal.E[:, None] * Y)
+        # zero computational-noise duals before the sup (see
+        # core.compute_info; columnwise noise floor)
+        y_tol = jnp.finfo(dtype).eps * jnp.max(jnp.abs(Yu), axis=0, keepdims=True)
+        Yu = jnp.where(jnp.abs(Yu) > y_tol, Yu, 0.0)
         Lu = Einv * L_b
         Uu = Einv * U_b
-        sup = jnp.sum(jnp.where(Uu < OSQP_INFTY * MIN_SCALING, Uu * jnp.maximum(Yu, 0), 0.0), axis=0) +               jnp.sum(jnp.where(Lu > -OSQP_INFTY * MIN_SCALING, Lu * jnp.minimum(Yu, 0), 0.0), axis=0)
+        sup_pos = jnp.where(Uu < OSQP_INFTY * MIN_SCALING, Uu * jnp.maximum(Yu, 0), 0.0)
+        sup_neg = jnp.where(Lu > -OSQP_INFTY * MIN_SCALING, Lu * jnp.minimum(Yu, 0), 0.0)
+        sup = jnp.sum(sup_pos, axis=0) + jnp.sum(sup_neg, axis=0)
+        sup_mag = jnp.sum(jnp.abs(sup_pos), axis=0) + jnp.sum(jnp.abs(sup_neg), axis=0)
     else:
         sup = jnp.zeros((B,), dtype)
+        sup_mag = jnp.zeros((B,), dtype)
     dual_obj = -quad * scal.cinv - sup
+    # rounding-noise scale of the computed gap (see core.compute_info; zero
+    # effect at float64)
+    gap_noise = jnp.finfo(dtype).eps * (
+        sup_mag + jnp.abs(quad * scal.cinv) + jnp.abs(jnp.sum(Q * X, axis=0)) * scal.cinv
+    )
 
     # tolerances
     if m:
@@ -279,7 +292,10 @@ def _batch_check_shared(P, A, Q, L_b, U_b, scal, settings, X, Z, Y, dX, dY,
 
     # duality-gap criterion (OSQP v1 C core; gated by check_dualgap)
     gap = obj - dual_obj
-    eps_gap = eps_abs + eps_rel * jnp.maximum(jnp.abs(obj), jnp.abs(dual_obj))
+    eps_gap = (
+        eps_abs + eps_rel * jnp.maximum(jnp.abs(obj), jnp.abs(dual_obj))
+        + 10.0 * gap_noise
+    )
     gap_ok = (~settings.check_dualgap) | (jnp.isfinite(gap) & (jnp.abs(gap) < eps_gap))
 
     status = jnp.where(
@@ -338,13 +354,14 @@ def shared_solve(
     return _shared_solve_impl(
         P, A, Q, L_b, U_b, scal, settings, rho0, Minv, M, rho_vec,
         X0, Z0, Y0, fused=fused, iter_prec=_iter_precision_mode(),
+        compact=os.environ.get('OSQP_TPU_COMPACT', 'auto'),
     )
 
 
-@functools.partial(jax.jit, static_argnames=('fused', 'iter_prec'))
+@functools.partial(jax.jit, static_argnames=('fused', 'iter_prec', 'compact'))
 def _shared_solve_impl(
     P, A, Q, L_b, U_b, scal, settings, rho0, Minv, M, rho_vec,
-    X0, Z0, Y0, *, fused, iter_prec='highest',
+    X0, Z0, Y0, *, fused, iter_prec='highest', compact='auto',
 ):
     n0, B0 = Q.shape
     m0 = A.shape[0]
@@ -421,13 +438,17 @@ def _shared_solve_impl(
     # type identically
     l0, u0 = L_b[:, 0], U_b[:, 0]
 
-    def make_loop(Qc, Lc, Uc, B_real):
+    def make_loop(Qc, Lc, Uc, B_real, valid=None):
         """Build the epoch-loop (cond, body, check) over a column set.
 
         Per-column math is independent of which other columns share the
         buffer, so running the still-active tail in a compacted (narrower)
         buffer is exact — same per-instance trajectories, statuses and
-        iteration counts as the full-width loop.
+        iteration counts as the full-width loop.  ``valid`` (bool (B_real,),
+        optional) marks the columns that are REAL instances; duplicate fill
+        columns (see the compaction gather below) are excluded from the
+        adaptive-rho median so the compacted loop adapts rho over exactly
+        the same instance set as the full-width loop would.
         """
 
         def iteration(F, c0, rvec, rinv, carry):
@@ -530,6 +551,8 @@ def _shared_solve_impl(
                     st.S[n:n + m, :B_real], st.S[n + m:, :B_real], st.rho, mm,
                 )
                 still = st.status[:B_real] == _UNSOLVED
+                if valid is not None:
+                    still &= valid
                 # masked median over still-ACTIVE instances (solved instances
                 # no longer inform the step-size balance; also keeps the
                 # estimate invariant under tail compaction)
@@ -573,8 +596,10 @@ def _shared_solve_impl(
     # it and finish there — the slowest instance no longer forces full-batch
     # epochs.  Exact (see make_loop docstring); worth ~2-4x on cold batches
     # whose max iteration count is ~5x the mean.
+    # ``OSQP_TPU_COMPACT``: 'auto' (default; on when the batch is at least
+    # 4x the tail buffer), '0' (off) — the equivalence tests force both.
     tail_width = max(128, _round_up(B0 // 16, 128))
-    do_compact = B0 >= 4 * tail_width and m > 0
+    do_compact = B0 >= 4 * tail_width and m > 0 and compact != '0'
 
     if do_compact:
         thr = jnp.int32(tail_width)
@@ -583,8 +608,12 @@ def _shared_solve_impl(
             body_full, st,
         )
         # gather still-active columns (fill duplicates column 0 — its values
-        # are recomputed identically and scattered back unchanged)
+        # are recomputed identically and scattered back unchanged; the fills
+        # are masked out of the adaptive-rho median via ``valid`` so a
+        # still-active column 0 cannot bias the estimate)
+        cnt_active = jnp.sum(st.status == _UNSOLVED)
         idx = jnp.nonzero(st.status == _UNSOLVED, size=tail_width, fill_value=0)[0]
+        valid = jnp.arange(tail_width) < cnt_active
 
         def g2(V):
             return V[:, idx]
@@ -596,7 +625,7 @@ def _shared_solve_impl(
             pri_res=st.pri_res[idx], dua_res=st.dua_res[idx],
             obj_val=st.obj_val[idx], dual_obj_val=st.dual_obj_val[idx],
         )
-        cond_t, body_t, _ = make_loop(g2(Q), g2(L_b), g2(U_b), tail_width)
+        cond_t, body_t, _ = make_loop(g2(Q), g2(L_b), g2(U_b), tail_width, valid)
         stc = lax.while_loop(cond_t, body_t, stc)
 
         def s2(V, Vc):
@@ -662,11 +691,23 @@ def _shared_solve_impl(
     )
 
 
-@functools.partial(jax.jit, static_argnames=('steps',))
 def shared_mpc_rollout(P, A, Q0, L_b, U_b, scal, settings, rho0, Minv, M, rho_vec,
                        q_seq, steps: int = None):
-    """Scan of warm MPC steps on the shared path.  q_seq: (S, n, B) scaled? no:
-    UNSCALED per-step cost matrices (S, n, B)."""
+    """Scan of warm MPC steps on the shared path.  q_seq: (S, n, B) of
+    UNSCALED per-step cost vectors.  Mode env vars (iteration precision,
+    fused kernel, compaction) are read here, outside the jit cache, so a
+    sweep within one process retraces correctly."""
+    fused = _fused_epoch_mode(Q0.dtype, Q0.shape[0], A.shape[0], Q0.shape[1])
+    return _shared_mpc_rollout_impl(
+        P, A, Q0, L_b, U_b, scal, settings, rho0, Minv, M, rho_vec, q_seq,
+        fused=fused, iter_prec=_iter_precision_mode(),
+        compact=os.environ.get('OSQP_TPU_COMPACT', 'auto'),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=('fused', 'iter_prec', 'compact'))
+def _shared_mpc_rollout_impl(P, A, Q0, L_b, U_b, scal, settings, rho0, Minv, M,
+                             rho_vec, q_seq, *, fused, iter_prec, compact):
     n, B = Q0.shape
     m = A.shape[0]
     dtype = Q0.dtype
@@ -674,8 +715,11 @@ def shared_mpc_rollout(P, A, Q0, L_b, U_b, scal, settings, rho0, Minv, M, rho_ve
     def step(carry, q_new):
         X, Z, Y, rho, Minv_c, M_c, rho_vec_c = carry
         Qs = settings_scale_q(scal, q_new)
-        out = shared_solve(P, A, Qs, L_b, U_b, scal, settings, rho, Minv_c, M_c,
-                           rho_vec_c, X, Z, Y)
+        out = _shared_solve_impl(
+            P, A, Qs, L_b, U_b, scal, settings, rho, Minv_c, M_c,
+            rho_vec_c, X, Z, Y, fused=fused, iter_prec=iter_prec,
+            compact=compact,
+        )
         carry = (out['X'], out['Z'], out['Y'], out['rho'], out['Minv'], out['M'],
                  out['rho_vec'])
         return carry, (out['x'], out['iters'], out['status'])
@@ -736,7 +780,20 @@ def shared_setup(P, A, q_b, l_b, u_b, settings_host, dtype=jnp.float32):
     U_t = jnp.asarray((E[None] * u_b).T, dtype)
 
     rho0 = jnp.asarray(min(max(settings_host.rho, 1e-6), 1e6), dtype)
-    types = core.constraint_types(L_t[:, 0], U_t[:, 0])
-    rho_vec = core.rho_vec_from_types(types, rho0, jnp.asarray(bool(settings_host.rho_is_vec)))
-    fac = core.factorize(P_s, A_s, jnp.asarray(settings_host.sigma, dtype), rho_vec, 'inv')
-    return P_s, A_s, Q, L_t, U_t, scal_t, rho0, fac.Minv, fac.L, rho_vec
+    # One jitted program for typing + factorization: eager op-by-op execution
+    # pays a per-op dispatch/compile roundtrip on remote-tunnel backends
+    # (measured: minutes of setup variance on axon; one program is ~0.1 s)
+    rho_vec, Minv, M_out = _shared_setup_factor(
+        P_s, A_s, L_t[:, 0], U_t[:, 0], rho0,
+        jnp.asarray(bool(settings_host.rho_is_vec)),
+        jnp.asarray(settings_host.sigma, dtype),
+    )
+    return P_s, A_s, Q, L_t, U_t, scal_t, rho0, Minv, M_out, rho_vec
+
+
+@jax.jit
+def _shared_setup_factor(P_s, A_s, l0, u0, rho0, rho_is_vec, sigma):
+    types = core.constraint_types(l0, u0)
+    rho_vec = core.rho_vec_from_types(types, rho0, rho_is_vec)
+    fac = core.factorize(P_s, A_s, sigma, rho_vec, 'inv')
+    return rho_vec, fac.Minv, fac.L

@@ -219,16 +219,27 @@ def _body_kernel(
     pri = jnp.where(noncvx_neg, two_infty, pri)
 
     Yu = cinv * (E * Y)
+    # zero computational-noise duals before the sup (see core.compute_info)
+    y_tol = jnp.asarray(jnp.finfo(dtype).eps, dtype) * jnp.max(
+        jnp.abs(Yu), axis=0, keepdims=True
+    )
+    Yu = jnp.where(jnp.abs(Yu) > y_tol, Yu, zero)
     Lu = Einv * L
     Uu = Einv * U
-    sup = jnp.sum(
-        jnp.where(Uu < loose, Uu * jnp.maximum(Yu, zero), zero),
-        axis=0, keepdims=True,
-    ) + jnp.sum(
-        jnp.where(Lu > -loose, Lu * jnp.minimum(Yu, zero), zero),
-        axis=0, keepdims=True,
+    sup_pos = jnp.where(Uu < loose, Uu * jnp.maximum(Yu, zero), zero)
+    sup_neg = jnp.where(Lu > -loose, Lu * jnp.minimum(Yu, zero), zero)
+    sup = jnp.sum(sup_pos, axis=0, keepdims=True) + jnp.sum(
+        sup_neg, axis=0, keepdims=True
+    )
+    sup_mag = jnp.sum(jnp.abs(sup_pos), axis=0, keepdims=True) + jnp.sum(
+        jnp.abs(sup_neg), axis=0, keepdims=True
     )
     dobj = -quad * cinv - sup
+    # rounding-noise scale of the computed gap (matches core.compute_info)
+    gap_noise = jnp.asarray(jnp.finfo(dtype).eps, dtype) * (
+        sup_mag + jnp.abs(quad * cinv)
+        + jnp.abs(jnp.sum(Q * X, axis=0, keepdims=True)) * cinv
+    )
 
     Ax_t = jnp.where(unscaled, colmax(Einv * AX), colmax(AX))
     z_t = jnp.where(unscaled, colmax(Einv * Z), colmax(Z))
@@ -278,7 +289,10 @@ def _body_kernel(
 
     # duality-gap criterion (OSQP v1 C core; gated by check_dualgap)
     gap = obj - dobj
-    eps_gap = eps_abs + eps_rel * jnp.maximum(jnp.abs(obj), jnp.abs(dobj))
+    eps_gap = (
+        eps_abs + eps_rel * jnp.maximum(jnp.abs(obj), jnp.abs(dobj))
+        + jnp.asarray(10.0, dtype) * gap_noise
+    )
     gap_ok = (~check_dualgap) | (jnp.isfinite(gap) & (jnp.abs(gap) < eps_gap))
 
     cand = jnp.where(

@@ -177,6 +177,169 @@ def test_fused_epoch_equivalence(monkeypatch):
                                rtol=1e-4, atol=1e-5)
 
 
+def _solve_shared(P, A, q, l, u, eps, dtype=jnp.float32, X0=None, warm=None,
+                  **host_over):
+    n, m, B = P.shape[0], A.shape[0], q.shape[0]
+    host = OracleSettings(eps_abs=eps, eps_rel=eps, **host_over)
+    stg = default_core_settings(dtype, eps_abs=eps, eps_rel=eps, **host_over)
+    args = shared_setup(P, A, q, l, u, host, dtype=dtype)
+    P_s, A_s, Q, L_t, U_t, scal_t, rho0, Minv, M, rho_vec = args
+    Z0 = jnp.zeros((m, B), dtype)
+    Y0 = jnp.zeros((m, B), dtype)
+    if warm is not None:
+        X0, Z0, Y0 = warm
+    elif X0 is None:
+        X0 = jnp.zeros((n, B), dtype)
+    out = shared_solve(P_s, A_s, Q, L_t, U_t, scal_t, stg, rho0, Minv, M,
+                       rho_vec, X0, Z0, Y0)
+    return out
+
+
+def test_compaction_equivalence(monkeypatch):
+    """Straggler-tail compaction must be exact: same statuses, iteration
+    counts and solutions as the full-width loop (VERDICT r2 weak #2).
+    B=512 crosses the compaction threshold (tail buffer 128)."""
+    B, n, m = 512, 6, 8
+    P, A, q, l, u = _problems(B, n, m, seed=11)
+    monkeypatch.setenv('OSQP_TPU_FUSED_SHARED', '0')
+
+    monkeypatch.setenv('OSQP_TPU_COMPACT', '0')
+    ref = _solve_shared(P, A, q, l, u, 1e-4)
+    monkeypatch.setenv('OSQP_TPU_COMPACT', 'auto')
+    got = _solve_shared(P, A, q, l, u, 1e-4)
+
+    np.testing.assert_array_equal(np.asarray(got['status']), np.asarray(ref['status']))
+    np.testing.assert_array_equal(np.asarray(got['iters']), np.asarray(ref['iters']))
+    assert (np.asarray(got['status']) == 1).all()
+    np.testing.assert_allclose(np.asarray(got['x']), np.asarray(ref['x']),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got['y']), np.asarray(ref['y']),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_compaction_instance0_straggler(monkeypatch):
+    """The compaction corner VERDICT r2 flagged: the gather pads the tail
+    buffer with duplicates of column 0; when instance 0 is itself the LAST
+    straggler the duplicates are still-active copies and must not bias the
+    masked-median adaptive-rho estimate.  Engineered by warm-starting every
+    instance except 0 at its solution."""
+    B, n, m = 512, 6, 8
+    P, A, q, l, u = _problems(B, n, m, seed=13)
+    f32 = jnp.float32
+    monkeypatch.setenv('OSQP_TPU_FUSED_SHARED', '0')
+
+    # first pass: solutions for warm starts (eps tight enough that instance 0
+    # then needs many cold iterations, loose enough that f32 solves all)
+    base = _solve_shared(P, A, q, l, u, 1e-5)
+    assert (np.asarray(base['status']) == 1).all()
+    Xw = np.asarray(base['X']).copy()
+    Zw = np.asarray(base['Z']).copy()
+    Yw = np.asarray(base['Y']).copy()
+    Xw[:, 0] = 0.0
+    Zw[:, 0] = 0.0
+    Yw[:, 0] = 0.0
+    warm = (jnp.asarray(Xw, f32), jnp.asarray(Zw, f32), jnp.asarray(Yw, f32))
+
+    monkeypatch.setenv('OSQP_TPU_COMPACT', '0')
+    ref = _solve_shared(P, A, q, l, u, 1e-5, warm=warm)
+    monkeypatch.setenv('OSQP_TPU_COMPACT', 'auto')
+    got = _solve_shared(P, A, q, l, u, 1e-5, warm=warm)
+
+    iters = np.asarray(ref['iters'])
+    # instance 0 really is a late straggler (cold vs the warm-started rest),
+    # i.e. still active when the loop compacts, so the gather's duplicate
+    # fills of column 0 are live copies
+    assert iters[0] >= np.percentile(iters, 97) and iters[0] > np.median(iters)
+    np.testing.assert_array_equal(np.asarray(got['status']), np.asarray(ref['status']))
+    np.testing.assert_array_equal(np.asarray(got['iters']), iters)
+    np.testing.assert_allclose(np.asarray(got['x']), np.asarray(ref['x']),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(got['rho']), float(ref['rho']), rtol=1e-12)
+
+
+def test_iter_precision_never_false_positive(monkeypatch):
+    """The lowered-iteration-precision SAFETY contract: termination checks
+    always run at full precision, so lowering the iteration precision can
+    cost iterations (or fail to converge) but can never mislabel an
+    unconverged instance as SOLVED.  Run under the Pallas interpreter, whose
+    bf16 dot accumulates differently from the real MXU (f32 accumulate) —
+    the interpreter is deliberately the WORST case here."""
+    B, n, m = 33, 13, 19
+    P, A, q, l, u = _problems(B, n, m, seed=17)
+    monkeypatch.setenv('OSQP_TPU_FUSED_SHARED', 'interpret')
+
+    monkeypatch.setenv('OSQP_TPU_ITER_PRECISION', 'highest')
+    ref = _solve_shared(P, A, q, l, u, 1e-3)
+    assert (np.asarray(ref['status']) == 1).all()
+    monkeypatch.setenv('OSQP_TPU_ITER_PRECISION', 'high')
+    got = _solve_shared(P, A, q, l, u, 1e-3)
+
+    st = np.asarray(got['status'])
+    # only SOLVED / SOLVED_INACCURATE / MAX_ITER are legal outcomes
+    assert np.isin(st, (1, 2, 7)).all(), st
+    solved = st == 1
+    # any accepted instance passed the full-precision residual check
+    if solved.any():
+        assert float(np.asarray(got['pri_res'])[solved].max()) < 1e-2
+        assert float(np.asarray(got['dua_res'])[solved].max()) < 1e-2
+        np.testing.assert_allclose(np.asarray(got['x'])[solved],
+                                   np.asarray(ref['x'])[solved],
+                                   rtol=0.05, atol=0.02)
+
+
+@pytest.mark.skipif(
+    __import__('os').environ.get('OSQP_TPU_TEST_DEVICE') != 'tpu',
+    reason="'high' accuracy depends on the MXU's f32-accumulating bf16 dot; "
+           'validated on the real chip only (interpret-mode bf16 differs)',
+)
+def test_iter_precision_high_matches_highest_tpu(monkeypatch):
+    """On the real MXU the 'high' mode (3-pass bf16 hi/lo split, dropped
+    F_lo@S_lo term) solves the bench family at eps 1e-3 with the same
+    iteration counts as 'highest' (probe table in benchmarks/RESULTS.md)."""
+    B, n, m = 256, 32, 48
+    P, A, q, l, u = _problems(B, n, m, seed=0)
+
+    monkeypatch.setenv('OSQP_TPU_ITER_PRECISION', 'highest')
+    ref = _solve_shared(P, A, q, l, u, 1e-3)
+    monkeypatch.setenv('OSQP_TPU_ITER_PRECISION', 'high')
+    got = _solve_shared(P, A, q, l, u, 1e-3)
+
+    assert (np.asarray(ref['status']) == 1).all()
+    assert (np.asarray(got['status']) == 1).all()
+    assert float(np.asarray(got['pri_res']).max()) < 2e-3
+    assert float(np.asarray(got['dua_res']).max()) < 2e-3
+    np.testing.assert_allclose(np.asarray(got['x']), np.asarray(ref['x']),
+                               rtol=0.05, atol=0.02)
+
+
+def test_heterogeneous_constraint_typing():
+    """Batch whose instances DIFFER in constraint type (instance 0 all
+    inequalities; later instances have equality rows l==u): the shared
+    engine types rho from instance 0's pattern (module contract,
+    batch_shared.py docstring) but per-instance projections/termination use
+    each instance's own bounds, so every solution must still be correct vs
+    the float64 per-instance oracle."""
+    B, n, m = 12, 8, 10
+    P, A, q, l, u = _problems(B, n, m, seed=19)
+    # make rows 0-1 equalities for every instance EXCEPT instance 0
+    for b in range(1, B):
+        mid = 0.5 * (l[b, :2] + u[b, :2])
+        l[b, :2] = mid
+        u[b, :2] = mid
+    out = _solve_shared(P, A, q, l, u, 1e-4)
+    status = np.asarray(out['status'])
+    assert (status == 1).all(), status
+
+    P_csc, A_csc = sparse.csc_matrix(P), sparse.csc_matrix(A)
+    for b in range(B):
+        ref = ReferenceSolver()
+        ref.setup(P_csc, q[b], A_csc, l[b], u[b],
+                  verbose=False, eps_abs=1e-9, eps_rel=1e-9, max_iter=200000)
+        sol, info = ref.solve()
+        np.testing.assert_allclose(np.asarray(out['x'])[b], sol.x,
+                                   rtol=1e-2, atol=5e-3)
+
+
 def test_rho_estimate_equivalence():
     """_batch_rho_estimate must reproduce core.rho_estimate_fn exactly."""
     import functools

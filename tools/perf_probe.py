@@ -1,8 +1,22 @@
-"""Perf probe for the shared batched engine: iteration-precision sweep.
+"""Perf probe for the shared batched engine (headline bench workload).
 
-Times a cold shared_solve and a warm re-solve on the bench workload at each
-OSQP_TPU_ITER_PRECISION value, reporting throughput / solved_frac / iters.
-Run on the real TPU chip:  python tools/perf_probe.py [B]
+Sweeps the two throughput levers over the exact bench.py rollout
+(B=4096, n=32, m=48, 10 warm MPC steps, eps 1e-3):
+
+* ``OSQP_TPU_ITER_PRECISION`` — matmul passes for the ADMM iteration map
+  (termination checks always run at HIGHEST, so accuracy of ACCEPTED
+  solutions is mode-independent; modes only change the iterate path).
+* ``check_termination`` — epoch length.  Warm MPC solves converge in well
+  under 25 iterations, so the reference default of 25 quantizes warm solves
+  up to a full epoch; smaller epochs trade check overhead for fewer wasted
+  iterations.
+
+Also times a cold shared_solve per mode and measures x-accuracy of every
+mode against the 'highest' solution.  Run on the real chip:
+
+    python tools/perf_probe.py [B] [--quick]
+
+Results are recorded in benchmarks/RESULTS.md.
 """
 
 import os
@@ -10,20 +24,26 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault(
-    'JAX_COMPILATION_CACHE_DIR',
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), '.jax_cache'),
-)
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
+jax.config.update(
+    'jax_compilation_cache_dir',
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), '.jax_cache'),
+)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    args = [a for a in sys.argv[1:] if not a.startswith('--')]
+    B = int(args[0]) if args else 4096
+    quick = '--quick' in sys.argv
     n, m = 32, 48
+    steps = 10
     eps = 1e-3
 
     from bench import build_shared_problems
@@ -35,51 +55,89 @@ def main():
     P, q, A, l, u = build_shared_problems(B, n, m)
     f32 = jnp.float32
     host = OracleSettings(eps_abs=eps, eps_rel=eps)
-    stg = default_core_settings(f32, eps_abs=eps, eps_rel=eps)
     P_s, A_s, Q, L_t, U_t, scal_t, rho0, Minv, M, rho_vec = bs.shared_setup(
         P, A, q, l, u, host, dtype=f32
+    )
+    rng = np.random.default_rng(1)
+    q_seq = jnp.asarray(
+        (np.asarray(q)[None] + 0.01 * rng.standard_normal((steps, B, n))).transpose(0, 2, 1),
+        f32,
     )
     X0 = jnp.zeros((n, B), f32)
     Z0 = jnp.zeros((m, B), f32)
     Y0 = jnp.zeros((m, B), f32)
 
-    def run(prec):
+    def timeit(fn, materialize, reps=3, batches=4):
+        """bench.py-style timing: block_until_ready + a tiny-array flush to
+        drain the axon lazy-completion queue WITHOUT transferring the large
+        result (np.asarray of the (10,n,B) xs costs ~50 ms of tunnel
+        bandwidth and would swamp the compute being measured)."""
+        ts = []
+        for _ in range(batches):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                o = fn()
+            jax.block_until_ready(materialize(o))
+            np.asarray(jnp.zeros(1) + 1)  # flush lazy-completion backends
+            ts.append((time.perf_counter() - t0) / reps)
+        return float(np.median(ts[1:]))
+
+    x_ref = {}
+
+    def run(prec, ct):
         os.environ['OSQP_TPU_ITER_PRECISION'] = prec
-        out = bs.shared_solve(P_s, A_s, Q, L_t, U_t, scal_t, stg, rho0,
-                              Minv, M, rho_vec, X0, Z0, Y0)
-        jax.block_until_ready(out['x'])
-        # warm re-solve from the solution (the MPC steady state)
-        Xw, Zw, Yw = out['X'], out['Z'], out['Y']
-        outw = bs.shared_solve(P_s, A_s, Q, L_t, U_t, scal_t, stg, out['rho'],
-                               out['Minv'], out['M'], out['rho_vec'], Xw, Zw, Yw)
-        jax.block_until_ready(outw['x'])
+        stg = default_core_settings(f32, eps_abs=eps, eps_rel=eps,
+                                    check_termination=ct)
 
-        def timeit(fn, reps=5):
-            ts = []
-            for _ in range(4):
-                t0 = time.perf_counter()
-                for _ in range(reps):
-                    o = fn()
-                np.asarray(o['x'])  # materialize (axon lazy completion)
-                ts.append((time.perf_counter() - t0) / reps)
-            return float(np.median(ts[1:]))
+        def rollout():
+            return bs.shared_mpc_rollout(
+                P_s, A_s, Q, L_t, U_t, scal_t, stg, rho0, Minv, M, rho_vec, q_seq
+            )
 
-        t_cold = timeit(lambda: bs.shared_solve(
-            P_s, A_s, Q, L_t, U_t, scal_t, stg, rho0, Minv, M, rho_vec,
-            X0, Z0, Y0))
-        t_warm = timeit(lambda: bs.shared_solve(
-            P_s, A_s, Q, L_t, U_t, scal_t, stg, out['rho'], out['Minv'],
-            out['M'], out['rho_vec'], Xw, Zw, Yw))
-        it = np.asarray(out['iters'])
-        st = np.asarray(out['status'])
-        itw = np.asarray(outw['iters'])
-        print(f"{prec:8s} cold {t_cold*1e3:8.2f} ms ({B/t_cold:12.0f}/s) "
-              f"warm {t_warm*1e3:8.2f} ms ({B/t_warm:12.0f}/s) "
-              f"solved {float((st==1).mean()):.4f} "
-              f"iters mean/max {it.mean():.1f}/{it.max()} warm {itw.mean():.1f}/{itw.max()}")
+        t0 = time.perf_counter()
+        carry, (xs, iters, statuses) = rollout()
+        jax.block_until_ready(xs)
+        compile_s = time.perf_counter() - t0
 
-    for prec in ('highest', 'high', 'default'):
-        run(prec)
+        t_roll = timeit(rollout, lambda o: o[1][0])
+        thr = B * steps / t_roll
+
+        it = np.asarray(iters)
+        st = np.asarray(statuses)
+        solved = float((st == 1).mean())
+        xs_np = np.asarray(xs)
+        key = ct
+        if prec == 'highest':
+            x_ref[key] = xs_np
+        xerr = (np.max(np.abs(xs_np - x_ref[key])) if key in x_ref else float('nan'))
+
+        # cold single solve
+        def cold():
+            return bs.shared_solve(P_s, A_s, Q, L_t, U_t, scal_t, stg, rho0,
+                                   Minv, M, rho_vec, X0, Z0, Y0)
+        o = cold()
+        jax.block_until_ready(o['x'])
+        t_cold = timeit(cold, lambda o: o['x'])
+        itc = np.asarray(o['iters'])
+        stc = np.asarray(o['status'])
+
+        print(f"prec={prec:8s} ct={ct:3d}  warm {thr:12.0f}/s ({t_roll*1e3:7.1f} ms/10st) "
+              f"iters {it.mean():5.1f}/{it.max():4d} solved {solved:.4f} "
+              f"|x-x_hi| {xerr:.2e}  cold {B/t_cold:10.0f}/s iters {itc.mean():5.1f}/{itc.max():4d} "
+              f"solved {float((stc==1).mean()):.4f}  compile {compile_s:.0f}s",
+              flush=True)
+
+    # 'default' (1-pass bf16) diverges on this workload: the iteration map's
+    # ~4e-3 relative noise floor keeps residuals above eps=1e-3 forever
+    # (measured 2026-08-19: solved_frac ~0, 4000 iters).  Sweep it only
+    # under --all.
+    cts = (25, 5) if quick else (25, 10, 5)
+    precs = ('highest', 'high') if quick else ('highest', 'high')
+    if '--all' in sys.argv:
+        precs = precs + ('default',)
+    for ct in cts:
+        for prec in precs:
+            run(prec, ct)
 
 
 if __name__ == '__main__':
