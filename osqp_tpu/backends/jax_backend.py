@@ -57,7 +57,15 @@ def solver_types():
     return ('direct', 'indirect')
 
 
-def _default_dtype():
+def _default_dtype(device=None):
+    """float64 under x64 mode EXCEPT on devices that cannot compute in f64
+    (TPU): there the solver runs float32 regardless of the host x64 flag
+    (polish still refines in host float64; see Solver.solve)."""
+    platform = (
+        getattr(device, 'platform', '') if device is not None else jax.default_backend()
+    )
+    if platform in ('tpu', 'axon'):
+        return jnp.float32
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
@@ -195,7 +203,7 @@ class Solver:
         t0 = time.perf_counter()
         self._stg = OracleSettings(**settings)
         if self._dtype is None:
-            self._dtype = _default_dtype()
+            self._dtype = _default_dtype(self._device)
         dt = self._dtype
 
         P = sp.csc_matrix(P).astype(np.float64)
@@ -348,6 +356,7 @@ class Solver:
             max_iter = int(stg.max_iter)
             iterates = self._iterates
             rho, factor = self._rho, self._factor
+            pd_acc = 0.0  # primdual integral accumulates across chunks
             while True:
                 cs = self._core_settings()._replace(
                     iter_cap=jnp.int32(min(it0 + chunk, max_iter))
@@ -358,6 +367,7 @@ class Solver:
                     it0=jnp.int32(it0),
                 )
                 it0 = int(res.iters)
+                pd_acc += float(res.primdual_acc)
                 iterates, rho, factor = res.iterates, res.rho, res.factor
                 if int(res.status) != int(SolverStatus.OSQP_UNSOLVED) or it0 >= max_iter:
                     break
@@ -366,6 +376,7 @@ class Solver:
                         status=jnp.int32(int(SolverStatus.OSQP_TIME_LIMIT_REACHED))
                     )
                     break
+            res = res._replace(primdual_acc=jnp.asarray(pd_acc))
 
         status = int(res.status)
         self._iterates = res.iterates
@@ -384,6 +395,14 @@ class Solver:
         info.status = status_string(status)
         self._stg.rho = float(res.rho.rho)
         info.solve_time = time.perf_counter() - t0
+        info.rel_kkt_error = float(res.rel_kkt_error)
+        # primdual_int (reference bindings.cpp.in:491): the core accumulates
+        # the ITERATION integral of min(1, rel_kkt) (a jit'd loop cannot read
+        # clocks); convert to the C core's time integral with the measured
+        # mean per-iteration time.
+        info.primdual_int = (
+            float(res.primdual_acc) * info.solve_time / max(int(res.iters), 1)
+        )
 
         x_out = np.asarray(res.x, np.float64)
         y_out = np.asarray(res.y, np.float64)

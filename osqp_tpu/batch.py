@@ -215,7 +215,7 @@ class BatchedOSQP:
 
             self._stg.linsys_solver = int(LinsysSolverType.OSQP_INDIRECT_SOLVER)
         if self._dtype is None:
-            self._dtype = _default_dtype()
+            self._dtype = _default_dtype(self._device)
         dt = self._dtype
 
         P = np.asarray(P, np.float64)
@@ -243,7 +243,7 @@ class BatchedOSQP:
             from .batch_shared import shared_setup
 
             if self._dtype is None:
-                self._dtype = _default_dtype()
+                self._dtype = _default_dtype(self._device)
             qb = np.broadcast_to(np.asarray(q, np.float64), (B, n)).copy()
             lb = np.broadcast_to(np.asarray(l, np.float64), (B, m)).copy()
             ub = np.broadcast_to(np.asarray(u, np.float64), (B, m)).copy()

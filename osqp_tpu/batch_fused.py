@@ -70,7 +70,8 @@ def _batched_check(data, scal, settings, x_b, z_b, y_b, dx_b, dy_b, approximate)
 
     def one(data, scal, x, z, y, dx, dy):
         st = _mini_state(x, z, y, dx, dy)
-        return core.termination_status(data, scal, st, settings, approximate)
+        # drop the trailing rel_kkt: the batched engines track it separately
+        return core.termination_status(data, scal, st, settings, approximate)[:5]
 
     return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0))(
         data, scal, x_b, z_b, y_b, dx_b, dy_b

@@ -54,7 +54,14 @@ DEFAULT_SETTINGS = {
     'cg_precond': int(PrecondType.OSQP_DIAGONAL_PRECONDITIONER),
     'adaptive_rho': True,
     'adaptive_rho_interval': 0,
-    'adaptive_rho_fraction': 0.4,
+    # C-core default is 0.4: in profiling builds, interval==0 triggers the
+    # first rho adaptation by TIME (elapsed > fraction * setup_time).  Here
+    # the default is 0 = deterministic fixed interval (ADAPTIVE_RHO_FIXED) so
+    # every backend (including the jitted TPU core, which cannot read clocks)
+    # adapts on identical iterations — the cross-backend iteration-exactness
+    # contract tests rely on it.  Set a value > 0 to opt into the C-core
+    # time-based behavior on the float64 oracle backend.
+    'adaptive_rho_fraction': 0.0,
     'adaptive_rho_tolerance': 5.0,
     'max_iter': 4000,
     'eps_abs': 1e-3,
@@ -156,71 +163,79 @@ class OSQP:
 
     # -- ingestion ---------------------------------------------------------
 
+    @staticmethod
+    def _require_csc(M, name):
+        """Coerce a matrix argument to CSC with sorted indices.  Dense
+        ndarrays are rejected (sparsity is part of the problem contract,
+        reference interface.py:207-218); sparse-but-not-CSC inputs convert
+        with a warning."""
+        if isinstance(M, np.ndarray) and M.ndim == 2:
+            raise TypeError(f'{name} must be a scipy sparse matrix, got a dense ndarray')
+        if not (spa.issparse(M) and spa.isspmatrix_csc(M)):
+            warnings.warn(f'{name}: converting to CSC (pass csc_matrix to avoid this copy)')
+            M = spa.csc_matrix(M)
+        if not M.has_sorted_indices:
+            M.sort_indices()
+        return M
+
     def _infer_mnpqalu(self, P=None, q=None, A=None, l=None, u=None):
-        """Infer problem dimensions and synthesize missing pieces
-        (reference interface.py:165-240)."""
-        if P is None:
-            if q is not None:
-                n = len(q)
-            elif A is not None:
-                n = A.shape[1]
-            else:
-                raise ValueError('The problem does not have any variables')
+        """Fill in whatever the caller omitted and normalize the rest.
+
+        Behavioral contract (mirrors reference interface.py:165-240): n is
+        taken from P, else q, else A's column count; m from A (0 when
+        absent).  Omitted pieces are synthesized — empty-sparse P, zero q,
+        +/-inf bounds when only one of l/u is given, an empty 0xn A (with
+        zero-length bounds) when no constraints exist.  P is reduced to its
+        upper triangle when a full symmetric matrix was passed; matrices are
+        coerced to sorted CSC; bounds are clamped to +/-OSQP_INFTY.
+        """
+        # --- dimensions ---
+        for candidate in (
+            (lambda: P.shape[0]) if P is not None else None,
+            (lambda: len(q)) if q is not None else None,
+            (lambda: A.shape[1]) if A is not None else None,
+        ):
+            if candidate is not None:
+                n = candidate()
+                break
         else:
-            n = P.shape[0]
+            raise ValueError('Cannot infer the number of variables: '
+                             'pass at least one of P, q or A')
+        m = A.shape[0] if A is not None else 0
 
-        m = 0 if A is None else A.shape[0]
-
+        # --- constraint block ---
         if A is None:
-            assert (l is None) and (u is None), 'If A is unspecified, leave l/u unspecified too.'
+            if l is not None or u is not None:
+                raise AssertionError('Bounds l/u given without a constraint matrix A')
+            A = spa.csc_matrix((0, n), dtype=self._dtype)
+            l = np.zeros(0)
+            u = np.zeros(0)
         else:
-            assert (l is not None) or (u is not None), 'If A is specified, specify at least one of l/u.'
+            if l is None and u is None:
+                raise AssertionError('A given without either bound; pass l and/or u')
             if l is None:
-                l = -np.inf * np.ones(A.shape[0])
+                l = np.full(m, -np.inf)
             if u is None:
-                u = np.inf * np.ones(A.shape[0])
+                u = np.full(m, np.inf)
 
+        # --- objective block ---
         if P is None:
             P = spa.csc_matrix((n, n), dtype=self._dtype)
         if q is None:
             q = np.zeros(n)
 
-        if A is None:
-            A = spa.csc_matrix((m, n), dtype=self._dtype)
-            l = np.zeros(m)
-            u = np.zeros(m)
+        for vec, length, name in ((q, n, 'q'), (l, m, 'l'), (u, m, 'u')):
+            assert len(vec) == length, f'{name} has length {len(vec)}, expected {length}'
 
-        assert len(q) == n, 'Incorrect dimension of q'
-        assert len(l) == m, 'Incorrect dimension of l'
-        assert len(u) == m, 'Incorrect dimension of u'
-
-        if not spa.issparse(P) and isinstance(P, np.ndarray) and P.ndim == 2:
-            raise TypeError('P is required to be a sparse matrix')
-        if not spa.issparse(A) and isinstance(A, np.ndarray) and A.ndim == 2:
-            raise TypeError('A is required to be a sparse matrix')
-
-        # Keep only the upper-triangular part of P if a full symmetric matrix
-        # was passed (reference interface.py:221-222).
-        if spa.tril(P, -1).data.size > 0:
+        # a full symmetric P collapses to its upper triangle
+        if spa.issparse(P) and spa.tril(P, -1).nnz > 0:
             P = spa.triu(P, format='csc')
-
-        if not spa.issparse(P) or not spa.isspmatrix_csc(P):
-            warnings.warn('Converting sparse P to a CSC matrix. This may take a while...')
-            P = spa.csc_matrix(P)
-        if not spa.issparse(A) or not spa.isspmatrix_csc(A):
-            warnings.warn('Converting sparse A to a CSC matrix. This may take a while...')
-            A = spa.csc_matrix(A)
-
-        if not P.has_sorted_indices:
-            P.sort_indices()
-        if not A.has_sorted_indices:
-            A.sort_indices()
+        P = self._require_csc(P, 'P')
+        A = self._require_csc(A, 'A')
 
         q = np.asarray(q, dtype=np.float64).ravel()
-        l = np.asarray(l, dtype=np.float64).ravel()
-        u = np.asarray(u, dtype=np.float64).ravel()
-        u = np.minimum(u, OSQP_INFTY)
-        l = np.maximum(l, -OSQP_INFTY)
+        l = np.clip(np.asarray(l, dtype=np.float64).ravel(), -OSQP_INFTY, None)
+        u = np.clip(np.asarray(u, dtype=np.float64).ravel(), None, OSQP_INFTY)
 
         return m, n, P, q, A, l, u
 

@@ -23,50 +23,30 @@ from torch.nn import Module
 from torch.autograd import Function
 
 
+# Constructor surface shared with the reference layer (API contract).
+_LAYER_OPTS = ('P_idx', 'P_shape', 'A_idx', 'A_shape', 'eps_rel', 'eps_abs',
+               'verbose', 'max_iter', 'algebra', 'solver_type')
+
+
 def to_numpy(t):
+    """Detach a torch tensor to numpy; None passes through, empty -> empty."""
     if t is None:
         return None
-    if t.nelement() == 0:
-        return np.array([])
-    return t.cpu().detach().numpy()
+    return np.empty(0) if t.nelement() == 0 else t.detach().cpu().numpy()
 
 
 class OSQP(Module):
-    def __init__(
-        self,
-        P_idx,
-        P_shape,
-        A_idx,
-        A_shape,
-        eps_rel=1e-5,
-        eps_abs=1e-5,
-        verbose=False,
-        max_iter=10000,
-        algebra=None,
-        solver_type='direct',
-    ):
+    def __init__(self, P_idx, P_shape, A_idx, A_shape, eps_rel=1e-5,
+                 eps_abs=1e-5, verbose=False, max_iter=10000, algebra=None,
+                 solver_type='direct'):
         super().__init__()
-        self.P_idx, self.P_shape = P_idx, P_shape
-        self.A_idx, self.A_shape = A_idx, A_shape
-        self.eps_rel, self.eps_abs = eps_rel, eps_abs
-        self.verbose = verbose
-        self.max_iter = max_iter
-        self.algebra = algebra
-        self.solver_type = solver_type
+        cfg = locals()
+        for name in _LAYER_OPTS:
+            setattr(self, name, cfg[name])
 
     def forward(self, P_val, q_val, A_val, l_val, u_val):
-        return _OSQP_Fn(
-            P_idx=self.P_idx,
-            P_shape=self.P_shape,
-            A_idx=self.A_idx,
-            A_shape=self.A_shape,
-            eps_rel=self.eps_rel,
-            eps_abs=self.eps_abs,
-            verbose=self.verbose,
-            max_iter=self.max_iter,
-            algebra=self.algebra,
-            solver_type=self.solver_type,
-        )(P_val, q_val, A_val, l_val, u_val)
+        fn = _OSQP_Fn(**{name: getattr(self, name) for name in _LAYER_OPTS})
+        return fn(P_val, q_val, A_val, l_val, u_val)
 
 
 def _OSQP_Fn(P_idx, P_shape, A_idx, A_shape, eps_rel, eps_abs, verbose, max_iter,

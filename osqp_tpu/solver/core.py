@@ -165,6 +165,8 @@ class LoopState(NamedTuple):
     rho_updates: jax.Array  # int32
     cg_tol: jax.Array  # adaptive CG relative tolerance
     cg_iters: jax.Array  # int32, cumulative CG iterations
+    rel_kkt: jax.Array  # relative KKT error at the last check
+    primdual_acc: jax.Array  # iteration integral of min(1, rel_kkt)
 
 
 class SolveResult(NamedTuple):
@@ -182,6 +184,9 @@ class SolveResult(NamedTuple):
     rho_estimate: jax.Array
     rho_updates: jax.Array
     cg_iters: jax.Array
+    rel_kkt_error: jax.Array
+    primdual_acc: jax.Array  # iteration integral of min(1, rel_kkt); the
+    # host converts to a time integral via the measured mean iteration time
     iterates: Iterates  # final scaled iterates (for warm restarts)
     rho: RhoState
     factor: Factor
@@ -446,14 +451,32 @@ def compute_info(data: QPData, scal: Scaling, st_x, st_z, st_y, settings: Settin
     # unscaled dual objective (loose-bound terms dropped)
     if m:
         y_u = scal.cinv * (scal.E * st_y)
+        # computational zeros: duals of inactive constraints converge to the
+        # dtype noise floor (~eps_mach * |y|_inf), not to exact 0; a huge
+        # finite bound (e.g. l = -1e6) amplifies that residue into an O(1)
+        # duality-gap error at float32.  Zero them before the sup.  At
+        # float64 the threshold is 2e-16 * |y|_inf — semantically inert.
+        y_tol = jnp.finfo(dtype).eps * _inf_norm(y_u)
+        y_u = jnp.where(jnp.abs(y_u) > y_tol, y_u, 0.0)
         l_u = scal.Einv * data.l
         u_u = scal.Einv * data.u
-        sup = jnp.sum(jnp.where(u_u < OSQP_INFTY * MIN_SCALING, u_u * jnp.maximum(y_u, 0), 0.0)) + jnp.sum(
-            jnp.where(l_u > -OSQP_INFTY * MIN_SCALING, l_u * jnp.minimum(y_u, 0), 0.0)
-        )
+        sup_pos = jnp.where(u_u < OSQP_INFTY * MIN_SCALING, u_u * jnp.maximum(y_u, 0), 0.0)
+        sup_neg = jnp.where(l_u > -OSQP_INFTY * MIN_SCALING, l_u * jnp.minimum(y_u, 0), 0.0)
+        sup = jnp.sum(sup_pos) + jnp.sum(sup_neg)
+        sup_mag = jnp.sum(jnp.abs(sup_pos)) + jnp.sum(jnp.abs(sup_neg))
     else:
         sup = jnp.zeros((), dtype)
+        sup_mag = jnp.zeros((), dtype)
     dual_obj_val = -quad * scal.cinv - sup
+    # rounding-noise scale of the computed duality gap: large finite bounds
+    # times dual variables (e.g. l = -1e6) make the gap's floating-point
+    # noise ~eps_mach * sum|l_i y_i|, which at float32 can exceed any
+    # reasonable eps_gap even at the exact optimum.  The termination check
+    # adds this floor to eps_gap (it vanishes at float64 — eps_mach 2e-16 —
+    # so the f64 oracle/core semantics are unchanged).
+    gap_noise = jnp.finfo(dtype).eps * (
+        sup_mag + jnp.abs(quad * scal.cinv) + jnp.abs(data.q @ st_x) * scal.cinv
+    )
 
     # negative curvature -> non-convex flag via exploding residual
     # (quad form of an indefinite P goes negative along the divergent ray)
@@ -476,7 +499,7 @@ def compute_info(data: QPData, scal: Scaling, st_x, st_z, st_y, settings: Settin
     max_rel_dua = scale_d * jnp.maximum(jnp.maximum(_d(Aty), _d(Px)), _d(data.q))
     eps_dua = settings.eps_abs + settings.eps_rel * max_rel_dua
 
-    return pri_res, dua_res, obj_val, dual_obj_val, eps_pri, eps_dua
+    return pri_res, dua_res, obj_val, dual_obj_val, eps_pri, eps_dua, gap_noise
 
 
 def primal_infeasibility(data: QPData, scal: Scaling, delta_y, eps_prim_inf, unscaled):
@@ -536,7 +559,7 @@ def termination_status(
     m = data.A.shape[0]
 
     sub = settings._replace(eps_abs=eps_abs, eps_rel=eps_rel)
-    pri_res, dua_res, obj_val, dual_obj, eps_pri, eps_dua = compute_info(
+    pri_res, dua_res, obj_val, dual_obj, eps_pri, eps_dua, gap_noise = compute_info(
         data, scal, st.x, st.z, st.y, sub
     )
 
@@ -545,8 +568,14 @@ def termination_status(
     dua_check = dua_res < eps_dua
     # duality-gap criterion (OSQP v1 C core; gated by check_dualgap):
     # |obj - dual_obj| < eps_abs + eps_rel * max(|obj|, |dual_obj|)
+    # plus the dtype rounding-noise floor of the computed gap (see
+    # compute_info; zero effect at float64)
     gap = obj_val - dual_obj
-    eps_gap = eps_abs + eps_rel * jnp.maximum(jnp.abs(obj_val), jnp.abs(dual_obj))
+    eps_gap = (
+        eps_abs
+        + eps_rel * jnp.maximum(jnp.abs(obj_val), jnp.abs(dual_obj))
+        + 10.0 * gap_noise
+    )
     gap_ok = (~settings.check_dualgap) | (
         jnp.isfinite(gap) & (jnp.abs(gap) < eps_gap)
     )
@@ -580,7 +609,24 @@ def termination_status(
             jnp.where(status == dinf_code, -OSQP_INFTY, obj_val),
         ),
     )
-    return status, pri_res, dua_res, obj_val, dual_obj
+
+    # relative KKT error (same definition as the oracle's _rel_kkt_now and
+    # interface._rel_kkt_error; the scales are recovered from the tolerance
+    # construction eps = eps_abs + eps_rel * scale)
+    one = jnp.ones((), pri_res.dtype)
+    scale_pri = jnp.where(eps_rel > 0, (eps_pri - eps_abs) / jnp.maximum(eps_rel, 1e-30), one)
+    scale_dua = jnp.where(eps_rel > 0, (eps_dua - eps_abs) / jnp.maximum(eps_rel, 1e-30), one)
+    gap_rel = jnp.where(
+        jnp.isfinite(gap),
+        jnp.abs(gap) / jnp.maximum(one, jnp.maximum(jnp.abs(obj_val), jnp.abs(dual_obj))),
+        0.0,
+    )
+    pri_fin = jnp.where(jnp.isfinite(pri_res), pri_res, 0.0)
+    rel_kkt = jnp.maximum(
+        jnp.maximum(pri_fin / jnp.maximum(one, scale_pri), dua_res / jnp.maximum(one, scale_dua)),
+        gap_rel,
+    )
+    return status, pri_res, dua_res, obj_val, dual_obj, rel_kkt
 
 
 # ---------------------------------------------------------------------------
@@ -707,9 +753,12 @@ def adapt_rho(data: QPData, settings: Settings, st: LoopState, indirect: bool, k
 
 
 def _run_check(data, scal, settings, st):
-    status, pri, dua, obj, dual_obj = termination_status(data, scal, st, settings, False)
+    status, pri, dua, obj, dual_obj, rel_kkt = termination_status(
+        data, scal, st, settings, False
+    )
     return st._replace(
-        status=status, pri_res=pri, dua_res=dua, obj_val=obj, dual_obj_val=dual_obj
+        status=status, pri_res=pri, dua_res=dua, obj_val=obj, dual_obj_val=dual_obj,
+        rel_kkt=rel_kkt,
     )
 
 
@@ -753,6 +802,8 @@ def solve_scaled_impl(
         rho_updates=jnp.int32(0),
         cg_tol=jnp.asarray(1e-3, dtype),
         cg_iters=jnp.int32(0),
+        rel_kkt=jnp.ones((), dtype),
+        primdual_acc=jnp.zeros((), dtype),
     )
 
     # Epoch structure: the outer while_loop advances one *epoch* (=
@@ -784,6 +835,12 @@ def solve_scaled_impl(
         pri_before, dua_before = st.pri_res, st.dua_res
         do_check = (ct > 0) & (it % jnp.maximum(ct, 1) == 0)
         st = lax.cond(do_check, lambda s: _run_check(data, scal, settings, s), lambda s: s, st)
+        # primal-dual integral: iteration integral of the capped relative KKT
+        # error (last-known value; converted to a time integral host-side)
+        st = st._replace(
+            primdual_acc=st.primdual_acc
+            + this_epoch.astype(st.primdual_acc.dtype) * jnp.minimum(1.0, st.rel_kkt)
+        )
 
         if verbose:
             def _print(it, obj, pri, dua, rho_val):
@@ -831,7 +888,7 @@ def solve_scaled_impl(
     def finish_unsolved(st):
         st = _run_check(data, scal, settings, st)
         def approx(st):
-            status, pri, dua, obj, dual_obj = termination_status(
+            status, pri, dua, obj, dual_obj, _ = termination_status(
                 data, scal, st, settings, True
             )
             status = jnp.where(status == _UNSOLVED, _MAX_ITER, status).astype(jnp.int32)
@@ -876,6 +933,8 @@ def solve_scaled_impl(
         rho_estimate=rho_est,
         rho_updates=st.rho_updates,
         cg_iters=st.cg_iters,
+        rel_kkt_error=st.rel_kkt,
+        primdual_acc=st.primdual_acc,
         iterates=Iterates(x=st.x, z=st.z, y=st.y),
         rho=st.rho,
         factor=st.factor,
@@ -1002,7 +1061,7 @@ def polish(
         z_pol = jnp.zeros((0,), dtype)
         y_pol = jnp.zeros((0,), dtype)
 
-    pri_pol, dua_pol, obj_pol, _, _, _ = compute_info(
+    pri_pol, dua_pol, obj_pol, _, _, _, _ = compute_info(
         data, scal, x_pol, z_pol, y_pol, settings
     )
 

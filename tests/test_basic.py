@@ -151,3 +151,46 @@ def test_check_dualgap(algebra, solver_type, atol, rtol, decimal_tol):
     res2 = model2.solve()
     assert res2.info.status_val == 1
     assert res2.info.iter <= res.info.iter
+
+
+def test_adaptive_rho_fraction_time_trigger():
+    """adaptive_rho_fraction > 0 with interval == 0 enables the C-core
+    profiling-build time trigger on the float64 oracle (bound in the
+    reference at bindings.cpp.in:431): the first rho adaptation fires at the
+    first termination check past fraction*setup_time.  With an effectively
+    zero threshold rho must adapt; with an unreachably large one it must
+    never adapt.  (The default fraction is 0 = deterministic fixed interval
+    on every backend; see interface.DEFAULT_SETTINGS.)"""
+    from osqp_tpu._oracle.solver import ReferenceSolver
+
+    P, q, A, l, u = problems.basic_qp()
+    # start rho far from the balanced value so the estimate triggers >5x
+    opts = dict(verbose=False, eps_abs=1e-9, eps_rel=1e-9, rho=1e3,
+                adaptive_rho=True, adaptive_rho_interval=0,
+                check_termination=25, max_iter=20000)
+
+    s = ReferenceSolver()
+    s.setup(P, q, A, l, u, adaptive_rho_fraction=1e-12, **opts)
+    sol, info = s.solve()
+    assert info.status_val in (1, 2)
+    assert info.rho_updates >= 1
+
+    s2 = ReferenceSolver()
+    s2.setup(P, q, A, l, u, adaptive_rho_fraction=1e12, **opts)
+    sol2, info2 = s2.solve()
+    assert info2.rho_updates == 0
+
+
+def test_info_rel_kkt_and_primdual_int(algebra, solver_type, atol, rtol, decimal_tol):
+    """rel_kkt_error and primdual_int are real, populated info fields:
+    rel_kkt_error is small at a SOLVED solution (same order as eps) and
+    primdual_int is a positive finite time integral."""
+    P, q, A, l, u = problems.basic_qp()
+    model = osqp.OSQP(algebra=algebra)
+    model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
+                eps_abs=1e-6, eps_rel=1e-6, solver_type=solver_type)
+    res = model.solve()
+    assert res.info.status_val == 1
+    assert 0 <= res.info.rel_kkt_error < 1e-4
+    assert np.isfinite(res.info.primdual_int)
+    assert res.info.primdual_int >= 0
