@@ -25,9 +25,15 @@ row block lives.  This subsumes column-split x-consensus averaging: the
 coupled axis (the reductions ``A' rho A v`` and ``P v``) is what is sharded
 and psum-reduced, the Schur-complement reduction of the north star.
 
-v1 scope: solve + warm start + adaptive rho (a diagonal-only change - CG has
-nothing to refactorize).  Infeasibility certificates and polish are left to
-the single-device paths.
+Feature parity with the single-device paths (round 3): infeasibility
+certificates are detected in-loop from the carried ADMM deltas
+(``delta_x`` replicated, ``delta_y`` row-sharded; ref _osqp.py:796-878) and
+returned unscaled; optional polish reuses the SAME distributed Schur-PCG
+operator with ``rho := 1/delta`` on the guessed active rows
+(ref _osqp.py:1710-1828 — the reduced KKT ``[[P+dI, Ared'],[Ared, -dI]]``
+eliminates to ``(P + dI + (1/d) Ared' Ared) x = -q + (1/d) Ared' b``, which
+is exactly the consensus-ADMM normal-equations matvec with a different
+diagonal), so no new communication pattern is needed.
 """
 
 from __future__ import annotations
@@ -78,8 +84,8 @@ class BigQPData(NamedTuple):
 
 
 class BigQPResult(NamedTuple):
-    x: jax.Array  # (n,) unscaled primal
-    y: jax.Array  # (m,) unscaled dual
+    x: jax.Array  # (n,) unscaled primal (NaN if infeasible)
+    y: jax.Array  # (m,) unscaled dual (NaN if infeasible)
     z: jax.Array  # (m,) scaled z iterate (for warm restarts)
     status: jax.Array
     iters: jax.Array
@@ -88,6 +94,9 @@ class BigQPResult(NamedTuple):
     obj_val: jax.Array
     rho: jax.Array
     rho_updates: jax.Array
+    prim_inf_cert: jax.Array  # (m,) unscaled delta_y certificate
+    dual_inf_cert: jax.Array  # (n,) unscaled delta_x certificate
+    status_polish: jax.Array  # 1 accepted, -1 rejected, 0 not attempted
 
 
 def _pad_rows_coo(S, J, blk, nnz_pad):
@@ -166,9 +175,11 @@ def big_qp_setup(P_sp, q, A_sp, l, u, J, *, scaling=10, sigma=1e-6, rho=0.1,
 
 
 def big_qp_solve(mesh: Mesh, data: BigQPData, *, sigma=1e-6, alpha=1.6,
-                 eps_abs=1e-3, eps_rel=1e-3, max_iter=4000, check_every=25,
+                 eps_abs=1e-3, eps_rel=1e-3, eps_prim_inf=1e-4,
+                 eps_dual_inf=1e-4, max_iter=4000, check_every=25,
                  adaptive_rho=True, adaptive_rho_interval=100,
                  adaptive_rho_tolerance=5.0, cg_tol=None, cg_max_iter=None,
+                 polish=False, delta=1e-6, polish_refine_iter=3,
                  axis='mp', x0=None, z0=None, y0=None) -> BigQPResult:
     """Solve the sharded QP.  ``x0``/``z0``/``y0`` warm-start (x unscaled
     ignored - pass the scaled iterates from a previous BigQPResult.z etc. or
@@ -181,6 +192,8 @@ def big_qp_solve(mesh: Mesh, data: BigQPData, *, sigma=1e-6, alpha=1.6,
     f = lambda v: jnp.asarray(v, dtype)
     sigma_t, alpha_t = f(sigma), f(alpha)
     eps_abs_t, eps_rel_t = f(eps_abs), f(eps_rel)
+    eps_pinf_t, eps_dinf_t = f(eps_prim_inf), f(eps_dual_inf)
+    delta_t = f(delta)
     if cg_tol is None:
         cg_tol = 1e-12 if dtype == jnp.float64 else 1e-7
     cg_tol_t = f(cg_tol)
@@ -206,7 +219,7 @@ def big_qp_solve(mesh: Mesh, data: BigQPData, *, sigma=1e-6, alpha=1.6,
             spec_sh, spec_sh, spec_sh, spec_sh,  # l u rho types
             spec_rep, spec_rep, spec_rep,  # diag_M D Dinv
             spec_sh, spec_sh,  # E Einv
-            spec_rep,  # cinv
+            spec_rep, spec_rep,  # c cinv
             spec_rep,  # x0
             spec_sh, spec_sh,  # z0 y0
         ),
@@ -215,11 +228,13 @@ def big_qp_solve(mesh: Mesh, data: BigQPData, *, sigma=1e-6, alpha=1.6,
             status=spec_rep, iters=spec_rep,
             pri_res=spec_rep, dua_res=spec_rep, obj_val=spec_rep,
             rho=spec_rep, rho_updates=spec_rep,
+            prim_inf_cert=spec_sh, dual_inf_cert=spec_rep,
+            status_polish=spec_rep,
         ),
         check_vma=False,
     )
     def run(pdata, pidx, adata, aidx, q, l_b, u_b, rho_b, types_b,
-            diag_M, D, Dinv, E_b, Einv_b, cinv_in, x_i, z_i, y_i):
+            diag_M, D, Dinv, E_b, Einv_b, c_in, cinv_in, x_i, z_i, y_i):
         pdata, pidx = pdata[0], pidx[0]
         adata, aidx = adata[0], aidx[0]
         l_loc, u_loc = l_b[0], u_b[0]
@@ -238,6 +253,7 @@ def big_qp_solve(mesh: Mesh, data: BigQPData, *, sigma=1e-6, alpha=1.6,
             (adata * adata, aidx[:, ::-1]), shape=(n, m_loc)
         )
         data_cinv = cinv_in.astype(dtype)
+        data_c = c_in.astype(dtype)
 
         def gather(v_loc):
             """(n_loc,) local row slice -> replicated (n,)."""
@@ -249,8 +265,8 @@ def big_qp_solve(mesh: Mesh, data: BigQPData, *, sigma=1e-6, alpha=1.6,
         def Atmv(w_loc):
             return lax.psum(At_loc @ w_loc, axis)
 
-        def Mmv(v, rho_loc):
-            return Pmv(v) + sigma_t * v + Atmv(rho_loc * (A_loc @ v))
+        def Mmv(v, rho_loc, shift=sigma_t):
+            return Pmv(v) + shift * v + Atmv(rho_loc * (A_loc @ v))
 
         dinv0 = 1.0 / diag_M
         # split diag_M into its rho-independent part so adaptive rho can
@@ -258,10 +274,10 @@ def big_qp_solve(mesh: Mesh, data: BigQPData, *, sigma=1e-6, alpha=1.6,
         gram0 = lax.psum(A2t_loc @ rho_loc0, axis)
         diagPsig = diag_M - gram0
 
-        def pcg(rhs, xk, rho_loc, dinv):
+        def pcg(rhs, xk, rho_loc, dinv, shift=sigma_t):
             b_norm = jnp.sqrt(rhs @ rhs)
             tol = jnp.maximum(cg_tol_t * b_norm, jnp.finfo(dtype).tiny)
-            r0 = rhs - Mmv(xk, rho_loc)
+            r0 = rhs - Mmv(xk, rho_loc, shift)
             zz0 = dinv * r0
 
             def cond(cr):
@@ -270,7 +286,7 @@ def big_qp_solve(mesh: Mesh, data: BigQPData, *, sigma=1e-6, alpha=1.6,
 
             def body(cr):
                 xk, r, zv, p, rz, k = cr
-                Mp = Mmv(p, rho_loc)
+                Mp = Mmv(p, rho_loc, shift)
                 denom = p @ Mp
                 a = rz / jnp.where(denom != 0, denom, 1.0)
                 xk = xk + a * p
@@ -283,7 +299,7 @@ def big_qp_solve(mesh: Mesh, data: BigQPData, *, sigma=1e-6, alpha=1.6,
             out = lax.while_loop(cond, body, (xk, r0, zz0, zz0, r0 @ zz0, jnp.int32(0)))
             return out[0]
 
-        def admm_step(x, z, y, xt_prev, rho_loc, rinv_loc, dinv):
+        def admm_step(x, z, y, xt_prev, dx, dy, rho_loc, rinv_loc, dinv):
             b2 = z - rinv_loc * y
             rhs = sigma_t * x - q + Atmv(rho_loc * b2)
             x_t = pcg(rhs, xt_prev, rho_loc, dinv)
@@ -293,23 +309,56 @@ def big_qp_solve(mesh: Mesh, data: BigQPData, *, sigma=1e-6, alpha=1.6,
             x_new = alpha_t * x_t + (1 - alpha_t) * x
             z_rel = alpha_t * z_t + (1 - alpha_t) * z
             z_new = jnp.clip(z_rel + rinv_loc * y, l_loc, u_loc)
-            y_new = y + rho_loc * (z_rel - z_new)
-            return x_new, z_new, y_new, x_t
+            dy_new = rho_loc * (z_rel - z_new)
+            y_new = y + dy_new
+            return x_new, z_new, y_new, x_t, x_new - x, dy_new
+
+        def is_primal_infeasible(dy, factor):
+            """(ref _osqp.py:796-820; deltas sharded like y)"""
+            eps = eps_pinf_t * factor
+            norm_dy = colmax_sh(E_loc * dy)
+            lhs = lax.psum(
+                jnp.sum(u_loc * jnp.maximum(dy, 0) + l_loc * jnp.minimum(dy, 0)),
+                axis,
+            )
+            At_dy = Atmv(dy)
+            return (
+                (norm_dy > eps)
+                & (lhs < -eps * norm_dy)
+                & (jnp.max(jnp.abs(Dinv * At_dy)) < eps * norm_dy)
+            )
+
+        def is_dual_infeasible(dx, factor):
+            """(ref _osqp.py:822-878; dx replicated)"""
+            eps = eps_dinf_t * factor
+            norm_dx = jnp.max(jnp.abs(D * dx))
+            ok = norm_dx > eps
+            ok &= (q @ dx) < -data_c * eps * norm_dx
+            P_dx = Pmv(dx)
+            ok &= jnp.max(jnp.abs(Dinv * P_dx)) < data_c * eps * norm_dx
+            A_dx = Einv_loc * (A_loc @ dx)
+            u_fin = u_loc < OSQP_INFTY * _MIN_SCALING
+            l_fin = l_loc > -OSQP_INFTY * _MIN_SCALING
+            bad = (u_fin & (A_dx > eps * norm_dx)) | (l_fin & (A_dx < -eps * norm_dx))
+            bad_any = lax.pmax(jnp.max(jnp.where(bad, 1.0, 0.0), initial=0.0), axis) > 0
+            return ok & ~bad_any
 
         def colmax_sh(v_loc):
             return lax.pmax(jnp.max(jnp.abs(v_loc), initial=0.0), axis)
 
-        def check(x, z, y):
+        def check(x, z, y, factor=1.0):
             """Unscaled residual norms + tolerances (ref _osqp.py:705-794)."""
+            ea = eps_abs_t * factor
+            er = eps_rel_t * factor
             Ax = A_loc @ x
             Px = Pmv(x)
             Aty = Atmv(y)
             pri = colmax_sh(Einv_loc * (Ax - z))
             dua = data_cinv * jnp.max(jnp.abs(Dinv * (Px + q + Aty)))
-            eps_pri = eps_abs_t + eps_rel_t * jnp.maximum(
+            eps_pri = ea + er * jnp.maximum(
                 colmax_sh(Einv_loc * Ax), colmax_sh(Einv_loc * z)
             )
-            eps_dua = eps_abs_t + eps_rel_t * data_cinv * jnp.maximum(
+            eps_dua = ea + er * data_cinv * jnp.maximum(
                 jnp.maximum(jnp.max(jnp.abs(Dinv * Aty)), jnp.max(jnp.abs(Dinv * Px))),
                 jnp.max(jnp.abs(Dinv * q)),
             )
@@ -326,29 +375,51 @@ def big_qp_solve(mesh: Mesh, data: BigQPData, *, sigma=1e-6, alpha=1.6,
             )
             return pri, dua, eps_pri, eps_dua, obj, pri_n, dua_n
 
+        _UNSOLVED = jnp.int32(int(SolverStatus.OSQP_UNSOLVED))
+
+        def full_status(x, z, y, dx, dy, factor, solved, pinf_c, dinf_c):
+            """Termination decision at one check (ref _osqp.py:998-1077)."""
+            pri, dua, eps_pri, eps_dua, obj, pri_n, dua_n = check(x, z, y, factor)
+            pri_ok = pri < eps_pri
+            dua_ok = dua < eps_dua
+            pinf = (~pri_ok) & is_primal_infeasible(dy, factor)
+            dinf = (~dua_ok) & is_dual_infeasible(dx, factor)
+            status = jnp.where(
+                pri_ok & dua_ok, jnp.int32(solved),
+                jnp.where(pinf, jnp.int32(pinf_c),
+                          jnp.where(dinf, jnp.int32(dinf_c), _UNSOLVED)),
+            )
+            return status, pri, dua, obj, pri_n, dua_n
+
         def cond(st):
-            (x, z, y, xt, rho_loc, rinv, dinv, rho_s, it, done, pri, dua,
-             obj, rupd) = st
-            return (it < max_iter) & (~done)
+            (x, z, y, xt, dx, dy, rho_loc, rinv, dinv, rho_s, it, status,
+             pri, dua, obj, rupd) = st
+            return (it < max_iter) & (status == _UNSOLVED)
 
         def body(st):
-            (x, z, y, xt, rho_loc, rinv, dinv, rho_s, it, done, pri, dua,
-             obj, rupd) = st
+            (x, z, y, xt, dx, dy, rho_loc, rinv, dinv, rho_s, it, status,
+             pri, dua, obj, rupd) = st
 
             def inner(_, c):
                 return admm_step(*c, rho_loc, rinv, dinv)
 
-            x, z, y, xt = lax.fori_loop(0, check_every, inner, (x, z, y, xt))
+            x, z, y, xt, dx, dy = lax.fori_loop(
+                0, check_every, inner, (x, z, y, xt, dx, dy)
+            )
             it = it + check_every
-            pri, dua, eps_pri, eps_dua, obj, pri_n, dua_n = check(x, z, y)
-            done = (pri < eps_pri) & (dua < eps_dua)
+            status, pri, dua, obj, pri_n, dua_n = full_status(
+                x, z, y, dx, dy, 1.0,
+                int(SolverStatus.OSQP_SOLVED),
+                int(SolverStatus.OSQP_PRIMAL_INFEASIBLE),
+                int(SolverStatus.OSQP_DUAL_INFEASIBLE),
+            )
 
             # adaptive rho: diagonal-only, nothing to refactorize for CG
             epoch = it // jnp.maximum(check_every, 1)
             do_adapt = (
                 jnp.asarray(adaptive_rho)
                 & (epoch % epochs_per_adapt == 0)
-                & (~done)
+                & (status == _UNSOLVED)
             )
 
             def adapt(args):
@@ -376,41 +447,112 @@ def big_qp_solve(mesh: Mesh, data: BigQPData, *, sigma=1e-6, alpha=1.6,
             rho_s, rho_loc, rinv, dinv, rupd = lax.cond(
                 do_adapt, adapt, lambda a: a, (rho_s, rho_loc, rinv, dinv, rupd)
             )
-            return (x, z, y, xt, rho_loc, rinv, dinv, rho_s, it, done, pri,
-                    dua, obj, rupd)
+            return (x, z, y, xt, dx, dy, rho_loc, rinv, dinv, rho_s, it,
+                    status, pri, dua, obj, rupd)
 
         rho_s0 = jnp.max(jnp.where(types_loc == 0, rho_loc0, 0.0), initial=0.0)
         rho_s0 = lax.pmax(rho_s0, axis)
         rho_s0 = jnp.where(rho_s0 > 0, rho_s0, f(0.1))
         st0 = (
             x_i, z_i, y_i, x_i,
+            jnp.zeros((n,), dtype), jnp.zeros((m_loc,), dtype),
             rho_loc0, jnp.where(rho_loc0 > 0, 1.0 / rho_loc0, 0.0), dinv0,
-            rho_s0, jnp.int32(0), jnp.zeros((), bool),
+            rho_s0, jnp.int32(0), _UNSOLVED,
             f(jnp.inf), f(jnp.inf), f(jnp.nan), jnp.int32(0),
         )
-        (x, z, y, xt, rho_loc, rinv, dinv, rho_s, it, done, pri, dua, obj,
-         rupd) = lax.while_loop(cond, body, st0)
+        (x, z, y, xt, dx, dy, rho_loc, rinv, dinv, rho_s, it, status, pri,
+         dua, obj, rupd) = lax.while_loop(cond, body, st0)
 
-        status = jnp.where(
-            done, jnp.int32(int(SolverStatus.OSQP_SOLVED)),
-            jnp.int32(int(SolverStatus.OSQP_MAX_ITER_REACHED)),
-        )
-        x_out = D * x
-        y_out = data_cinv * (E_loc * y)
+        # max-iter fallback: retry at 10x tolerances -> *_INACCURATE
+        # (ref _osqp.py:1018-1022, 1264-1266)
+        def approx_retry(_):
+            status_ap, pri_ap, dua_ap, obj_ap, _, _ = full_status(
+                x, z, y, dx, dy, 10.0,
+                int(SolverStatus.OSQP_SOLVED_INACCURATE),
+                int(SolverStatus.OSQP_PRIMAL_INFEASIBLE_INACCURATE),
+                int(SolverStatus.OSQP_DUAL_INFEASIBLE_INACCURATE),
+            )
+            return jnp.where(
+                status_ap == _UNSOLVED,
+                jnp.int32(int(SolverStatus.OSQP_MAX_ITER_REACHED)),
+                status_ap,
+            )
+
+        status = lax.cond(status == _UNSOLVED, approx_retry, lambda _: status, None)
+
+        # polish (ref _osqp.py:1710-1828): active-set reduced KKT via the
+        # SAME distributed Schur PCG with rho := act/delta, then iterative
+        # refinement; accept only if both residual norms improve
+        status_polish = jnp.int32(0)
+        if polish:
+            solved = status == jnp.int32(int(SolverStatus.OSQP_SOLVED))
+
+            def do_polish(args):
+                x, z, y, pri, dua = args
+                low = (z - l_loc) < -y
+                upp = (u_loc - z) < y
+                act = low | upp
+                b_loc = jnp.where(low, l_loc, jnp.where(upp, u_loc, 0.0))
+                rho_pol = jnp.where(act, 1.0 / delta_t, 0.0).astype(dtype)
+                gram_pol = lax.psum(A2t_loc @ rho_pol, axis)
+                dinv_pol = 1.0 / (diagPsig - sigma_t + delta_t + gram_pol)
+                rhs = -q + Atmv(rho_pol * b_loc)
+                x_pol = pcg(rhs, x, rho_pol, dinv_pol, shift=delta_t)
+
+                def refine(_, xp):
+                    resid = rhs - Mmv(xp, rho_pol, delta_t)
+                    return xp + pcg(resid, jnp.zeros_like(xp), rho_pol,
+                                    dinv_pol, shift=delta_t)
+
+                x_pol = lax.fori_loop(0, polish_refine_iter, refine, x_pol)
+                y_pol = rho_pol * (A_loc @ x_pol - b_loc)
+                z_pol = jnp.where(act, b_loc, A_loc @ x_pol)
+                pri_p, dua_p, _, _, obj_p, _, _ = check(x_pol, z_pol, y_pol)
+                better = (pri_p < pri) & (dua_p < dua)
+                out = lax.cond(
+                    better,
+                    lambda _: (x_pol, z_pol, y_pol, pri_p, dua_p, obj_p, jnp.int32(1)),
+                    lambda _: (x, z, y, pri, dua,
+                               (0.5 * (x @ Pmv(x)) + q @ x) * data_cinv,
+                               jnp.int32(-1)),
+                    None,
+                )
+                return out
+
+            x, z, y, pri, dua, obj, status_polish = lax.cond(
+                solved, do_polish,
+                lambda a: (a[0], a[1], a[2], a[3], a[4], obj, jnp.int32(0)),
+                (x, z, y, pri, dua),
+            )
+
+        infeasible = jnp.isin(status, jnp.array([
+            int(SolverStatus.OSQP_PRIMAL_INFEASIBLE),
+            int(SolverStatus.OSQP_PRIMAL_INFEASIBLE_INACCURATE),
+            int(SolverStatus.OSQP_DUAL_INFEASIBLE),
+            int(SolverStatus.OSQP_DUAL_INFEASIBLE_INACCURATE),
+        ], dtype=jnp.int32))
+        x_out = jnp.where(infeasible, jnp.nan, D * x)
+        y_out = jnp.where(infeasible, jnp.nan, data_cinv * (E_loc * y))
+        # certificates, unscaled like the single-device paths
+        prim_cert = E_loc * dy
+        dual_cert = D * dx
         return BigQPResult(
             x=x_out, y=y_out[None], z=z[None],
             status=status, iters=it, pri_res=pri, dua_res=dua, obj_val=obj,
             rho=rho_s, rho_updates=rupd,
+            prim_inf_cert=prim_cert[None], dual_inf_cert=dual_cert,
+            status_polish=status_polish,
         )
 
     res = run(
         data.pdata, data.pidx, data.adata, data.aidx, data.q,
         data.l, data.u, data.rho_vec, data.types,
-        data.diag_M, data.D, data.Dinv, data.E, data.Einv, data.cinv,
+        data.diag_M, data.D, data.Dinv, data.E, data.Einv, data.c, data.cinv,
         x_init, z_init, y_init,
     )
     # un-pad the row-sharded outputs
     return res._replace(
         y=res.y.reshape(-1)[:m],
         z=res.z.reshape(-1)[:m],
+        prim_inf_cert=res.prim_inf_cert.reshape(-1)[:m],
     )

@@ -139,6 +139,63 @@ def test_big_qp_solve_matches_reference(J):
     np.testing.assert_allclose(np.asarray(res.y), sol.y, rtol=1e-3, atol=1e-3)
 
 
+def test_big_qp_primal_infeasible_certificate():
+    """An infeasible huge QP must return PRIMAL_INFEASIBLE with a valid
+    unscaled Farkas certificate (v2 parity with the single-device paths;
+    reference semantics bindings.cpp.in:466-470)."""
+    from osqp_tpu.parallel.bigqp import big_qp_setup, big_qp_solve
+    from osqp_tpu.constants import SolverStatus
+
+    mesh = _mesh((8,), ('mp',))
+    n, m = 96, 128
+    P, q, A, l, u = _random_sparse_qp(n, m, 0.08, seed=13)
+    # contradictory rows: a x <= -1 and a x >= 1 for the same dense row a
+    rng = np.random.default_rng(3)
+    arow = rng.standard_normal(n)
+    A = sparse.vstack([A, sparse.csr_matrix(arow), sparse.csr_matrix(-arow)]).tocsc()
+    l = np.concatenate([l, [-1e30, -1e30]])
+    u = np.concatenate([u, [-1.0, -1.0]])
+
+    data = big_qp_setup(P, q, A, l, u, 8, dtype=jnp.float64)
+    res = big_qp_solve(mesh, data, eps_abs=1e-6, eps_rel=1e-6, max_iter=20000)
+    assert int(res.status) in (
+        int(SolverStatus.OSQP_PRIMAL_INFEASIBLE),
+        int(SolverStatus.OSQP_PRIMAL_INFEASIBLE_INACCURATE),
+    ), int(res.status)
+    assert np.isnan(np.asarray(res.x)).all()
+
+    # Farkas: u'(dy)_+ + l'(dy)_- < 0 and A' dy ~ 0 on the ORIGINAL data
+    dy = np.asarray(res.prim_inf_cert)[: A.shape[0]]
+    norm_dy = np.abs(dy).max()
+    assert norm_dy > 0
+    lhs = np.minimum(u, 1e30) @ np.maximum(dy, 0) + np.maximum(l, -1e30) @ np.minimum(dy, 0)
+    assert lhs < 0
+    assert np.abs(A.T @ dy).max() < 1e-3 * norm_dy
+
+
+def test_big_qp_polish():
+    """Distributed polish (reduced-KKT via the same Schur PCG) must improve
+    residuals and keep the solution at the reference optimum."""
+    from osqp_tpu.parallel.bigqp import big_qp_setup, big_qp_solve
+
+    mesh = _mesh((8,), ('mp',))
+    n, m = 120, 160
+    P, q, A, l, u = _random_sparse_qp(n, m, 0.06, seed=14)
+    data = big_qp_setup(P, q, A, l, u, 8, dtype=jnp.float64)
+    res = big_qp_solve(mesh, data, eps_abs=1e-4, eps_rel=1e-4, max_iter=20000,
+                       polish=True, cg_tol=1e-12)
+    assert int(res.status) == 1
+    assert int(res.status_polish) == 1, int(res.status_polish)
+
+    ref = ReferenceSolver()
+    ref.setup(P, q, A, l, u, verbose=False, eps_abs=1e-10, eps_rel=1e-10,
+              max_iter=200000, polishing=True)
+    sol, _ = ref.solve()
+    # polished solution is high-accuracy despite the loose ADMM eps
+    np.testing.assert_allclose(np.asarray(res.x), sol.x, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.y), sol.y, rtol=1e-4, atol=1e-5)
+
+
 def test_big_qp_warm_start():
     from osqp_tpu.parallel.bigqp import big_qp_setup, big_qp_solve
 
