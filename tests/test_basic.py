@@ -13,7 +13,7 @@ import pytest
 import osqp_tpu as osqp
 
 import problems
-from utils import load_high_accuracy
+from utils import f32_device, load_high_accuracy, solve_eps
 
 BASE_OPTS = dict(
     verbose=False,
@@ -115,7 +115,10 @@ def test_unknown_setting_rejected(algebra, solver_type, atol, rtol, decimal_tol)
 
 
 def test_solve_raise_error(algebra, solver_type, atol, rtol, decimal_tol):
-    res = make_model(algebra, solver_type).solve(raise_error=True)
+    # float32 rows cannot reach BASE_OPTS' 1e-9 residuals; loosen the solve
+    # eps (assert tolerances already come from the ladder)
+    extra = {'eps_abs': 1e-5, 'eps_rel': 1e-5} if f32_device() and algebra == 'jax' else {}
+    res = make_model(algebra, solver_type, **extra).solve(raise_error=True)
     assert res.info.status_val == model_status_solved()
 
 
@@ -135,7 +138,7 @@ def test_check_dualgap(algebra, solver_type, atol, rtol, decimal_tol):
     duality gap (OSQP v1 C-core criterion); disabling the check may only
     terminate earlier, never later."""
     P, q, A, l, u = problems.basic_qp()
-    eps = 1e-6
+    eps = solve_eps(1e-6, 1e-4) if algebra == 'jax' else 1e-6
     opts = dict(verbose=False, eps_abs=eps, eps_rel=eps,
                 solver_type=solver_type, check_termination=1)
 

@@ -232,11 +232,16 @@ def test_codegen_aot_export():
     A = sparse.csc_matrix([[-1, 0], [0, -1], [-1, -3], [2, 5], [3, 4]], dtype=float)
     u = np.array([0.0, 0.0, -15.0, 100.0, 80.0])
     l = -1e6 * np.ones(len(u))
+    from utils import f32_device
+
+    eps = 1e-5 if f32_device() else 1e-8
     model = osqp.OSQP(algebra='jax')
-    model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False, eps_abs=1e-8, eps_rel=1e-8)
+    model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False, eps_abs=eps, eps_rel=eps)
     compiled = export_aot(model)
+    dt = model._solver._dtype  # AOT executable is fixed to the solver dtype
     x, y, status, iters = compiled(
-        jnp.asarray(q, jnp.float64), jnp.asarray(l, jnp.float64), jnp.asarray(u, jnp.float64)
+        jnp.asarray(q, dt), jnp.asarray(l, dt), jnp.asarray(u, dt)
     )
-    nptest.assert_array_almost_equal(np.asarray(x), [0.0, 5.0], decimal=5)
+    nptest.assert_array_almost_equal(np.asarray(x), [0.0, 5.0],
+                                     decimal=3 if f32_device() else 5)
     assert int(status) == 1

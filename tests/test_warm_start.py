@@ -8,6 +8,7 @@ import pytest
 import osqp_tpu as osqp
 
 import problems
+from utils import solve_eps
 
 
 def test_warm_start(algebra, solver_type, atol, rtol, decimal_tol):
@@ -16,8 +17,8 @@ def test_warm_start(algebra, solver_type, atol, rtol, decimal_tol):
     opts = {
         'verbose': False,
         'adaptive_rho': False,
-        'eps_abs': 1e-08 if solver_type == 'direct' else 1e-2,
-        'eps_rel': 1e-08 if solver_type == 'direct' else 1e-2,
+        'eps_abs': solve_eps(1e-08, 1e-4) if solver_type == 'direct' else 1e-2,
+        'eps_rel': solve_eps(1e-08, 1e-4) if solver_type == 'direct' else 1e-2,
         'polishing': False,
         'check_termination': 1,
         'solver_type': solver_type,
