@@ -84,6 +84,10 @@ def main():
     f32 = jnp.float32
     host = OracleSettings(eps_abs=eps, eps_rel=eps)
     stg = default_core_settings(f32, eps_abs=eps, eps_rel=eps)
+    # Establish the device connection before timing setup: the axon tunnel's
+    # first contact can take minutes under load (observed 39-639 s variance)
+    # and is environment latency, not solver setup work.
+    np.asarray(jnp.zeros(8) + 1)
     t0 = time.perf_counter()
     P_s, A_s, Q, L_t, U_t, scal_t, rho0, Minv, M, rho_vec = shared_setup(
         P, A, q, l, u, host, dtype=f32

@@ -753,23 +753,28 @@ def shared_setup(P, A, q_b, l_b, u_b, settings_host, dtype=jnp.float32):
 
     # shared Ruiz from P/A with the batch-mean |q| as cost proxy
     q_repr = np.mean(np.abs(q_b), axis=0)
-    from .solver.core import ruiz_scale
 
     ruiz_dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    data, scal = jax.jit(ruiz_scale, static_argnums=(5,))(
+    rho0 = jnp.asarray(min(max(settings_host.rho, 1e-6), 1e6), dtype)
+    # ONE jitted program for Ruiz + typing + factorization: every extra
+    # program (and every eager op) pays a dispatch/compile roundtrip on
+    # remote-tunnel backends — measured as minutes of setup variance on axon
+    P_s, A_s, scal, rho_vec, Minv, M_out = _shared_setup_device(
         jnp.asarray(P_full, ruiz_dt),
         jnp.asarray(q_repr, ruiz_dt),
         jnp.asarray(A_d, ruiz_dt),
-        jnp.zeros((m,), ruiz_dt),
-        jnp.zeros((m,), ruiz_dt),
-        int(settings_host.scaling),
+        jnp.asarray(l_b[0], ruiz_dt),
+        jnp.asarray(u_b[0], ruiz_dt),
+        rho0,
+        jnp.asarray(bool(settings_host.rho_is_vec)),
+        jnp.asarray(settings_host.sigma, dtype),
+        scaling_iters=int(settings_host.scaling),
+        out_dtype=dtype,
     )
-    D = np.asarray(scal.D)
-    E = np.asarray(scal.E)
+    D = np.asarray(scal.D, np.float64)
+    E = np.asarray(scal.E, np.float64)
     c = float(scal.c)
 
-    P_s = jnp.asarray(np.asarray(data.P), dtype)
-    A_s = jnp.asarray(np.asarray(data.A), dtype)
     scal_t = core.Scaling(
         D=jnp.asarray(D, dtype), Dinv=jnp.asarray(1.0 / D, dtype),
         E=jnp.asarray(E, dtype), Einv=jnp.asarray(1.0 / E if m else E, dtype),
@@ -779,21 +784,21 @@ def shared_setup(P, A, q_b, l_b, u_b, settings_host, dtype=jnp.float32):
     L_t = jnp.asarray((E[None] * l_b).T, dtype)
     U_t = jnp.asarray((E[None] * u_b).T, dtype)
 
-    rho0 = jnp.asarray(min(max(settings_host.rho, 1e-6), 1e6), dtype)
-    # One jitted program for typing + factorization: eager op-by-op execution
-    # pays a per-op dispatch/compile roundtrip on remote-tunnel backends
-    # (measured: minutes of setup variance on axon; one program is ~0.1 s)
-    rho_vec, Minv, M_out = _shared_setup_factor(
-        P_s, A_s, L_t[:, 0], U_t[:, 0], rho0,
-        jnp.asarray(bool(settings_host.rho_is_vec)),
-        jnp.asarray(settings_host.sigma, dtype),
-    )
     return P_s, A_s, Q, L_t, U_t, scal_t, rho0, Minv, M_out, rho_vec
 
 
-@jax.jit
-def _shared_setup_factor(P_s, A_s, l0, u0, rho0, rho_is_vec, sigma):
-    types = core.constraint_types(l0, u0)
+@functools.partial(jax.jit, static_argnames=('scaling_iters', 'out_dtype'))
+def _shared_setup_device(P_full, q_repr, A_d, l0, u0, rho0, rho_is_vec, sigma,
+                         *, scaling_iters, out_dtype):
+    data, scal = core.ruiz_scale(
+        P_full, q_repr, A_d, jnp.zeros_like(l0), jnp.zeros_like(u0),
+        scaling_iters,
+    )
+    P_s = data.P.astype(out_dtype)
+    A_s = data.A.astype(out_dtype)
+    l0s = (scal.E * l0).astype(out_dtype)
+    u0s = (scal.E * u0).astype(out_dtype)
+    types = core.constraint_types(l0s, u0s)
     rho_vec = core.rho_vec_from_types(types, rho0, rho_is_vec)
     fac = core.factorize(P_s, A_s, sigma, rho_vec, 'inv')
-    return rho_vec, fac.Minv, fac.L
+    return P_s, A_s, scal, rho_vec, fac.Minv, fac.L
