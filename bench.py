@@ -65,9 +65,14 @@ def build_shared_problems(B, n, m, seed=0):
 
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    n, m = 32, 48
-    steps = 10
+    # Default (driver/headline) workload: B=4096, n=32, m=48, 10 steps.
+    # Optional overrides for the problem-size MFU study
+    # (benchmarks/RESULTS.md): `python bench.py [B] [n] [m] [steps]`.
+    argv = [int(a) for a in sys.argv[1:5]]
+    B = argv[0] if len(argv) > 0 else 4096
+    n = argv[1] if len(argv) > 1 else 32
+    m = argv[2] if len(argv) > 2 else 48
+    steps = argv[3] if len(argv) > 3 else 10
     eps = 1e-3
 
     import jax
