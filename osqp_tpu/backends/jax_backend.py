@@ -69,6 +69,14 @@ def _default_dtype(device=None):
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+def _poll_interrupt():
+    """Between-chunk interrupt point of the chunked (time_limit) solve loop.
+
+    A real SIGINT raises KeyboardInterrupt in the host loop asynchronously;
+    this hook exists so tests can inject one deterministically
+    (monkeypatching it to raise).  No-op in production."""
+
+
 def _resolve_device():
     """Device selection: OSQP_TPU_DEVICE env var ('cpu'/'tpu'/...) overrides
     the JAX default backend.  The TPU-native analogue of the reference's
@@ -171,6 +179,7 @@ class Solver:
             rho_is_vec=jnp.asarray(bool(stg.rho_is_vec)),
             cg_max_iter=jnp.int32(stg.cg_max_iter),
             cg_tol_fraction=f(stg.cg_tol_fraction),
+            cg_tol_reduction=f(stg.cg_tol_reduction),
             cg_eps_min=f(cg_eps_min),
             iter_cap=jnp.int32(stg.max_iter),
         )
@@ -348,7 +357,13 @@ class Solver:
         else:
             # Chunked continuation: run epochs of iterations, checking the
             # wall clock between chunks (TIME_LIMIT_REACHED semantics of the
-            # reference's time_limit setting, bindings.cpp.in:440).
+            # reference's time_limit setting, bindings.cpp.in:440).  The
+            # chunk boundary is also the interrupt point: a KeyboardInterrupt
+            # (SIGINT) between chunks yields status OSQP_SIGINT with the
+            # last chunk's valid partial iterates - the host-loop analogue of
+            # the C core's in-loop interrupt polling (reference
+            # bindings.cpp.in:349-361 exports OSQP_SIGINT; the jitted device
+            # loop itself cannot poll signals).
             ct = max(int(stg.check_termination), 1)
             chunk = max(10 * ct, 100)
             chunk -= chunk % ct
@@ -357,26 +372,37 @@ class Solver:
             iterates = self._iterates
             rho, factor = self._rho, self._factor
             pd_acc = 0.0  # primdual integral accumulates across chunks
-            while True:
-                cs = self._core_settings()._replace(
-                    iter_cap=jnp.int32(min(it0 + chunk, max_iter))
-                )
-                res = core.solve_scaled(
-                    self._data, self._scal, cs, rho, factor, iterates,
-                    indirect=self._indirect, verbose=bool(stg.verbose),
-                    it0=jnp.int32(it0),
-                )
-                it0 = int(res.iters)
-                pd_acc += float(res.primdual_acc)
-                iterates, rho, factor = res.iterates, res.rho, res.factor
-                if int(res.status) != int(SolverStatus.OSQP_UNSOLVED) or it0 >= max_iter:
-                    break
-                if time.perf_counter() - t0 > time_limit:
-                    res = res._replace(
-                        status=jnp.int32(int(SolverStatus.OSQP_TIME_LIMIT_REACHED))
+            rupd_acc = 0  # rho_updates accumulate across chunks too
+            res = None
+            try:
+                while True:
+                    _poll_interrupt()
+                    cs = self._core_settings()._replace(
+                        iter_cap=jnp.int32(min(it0 + chunk, max_iter))
                     )
-                    break
-            res = res._replace(primdual_acc=jnp.asarray(pd_acc))
+                    res = core.solve_scaled(
+                        self._data, self._scal, cs, rho, factor, iterates,
+                        indirect=self._indirect, verbose=bool(stg.verbose),
+                        it0=jnp.int32(it0),
+                    )
+                    it0 = int(res.iters)
+                    pd_acc += float(res.primdual_acc)
+                    rupd_acc += int(res.rho_updates)
+                    iterates, rho, factor = res.iterates, res.rho, res.factor
+                    if int(res.status) != int(SolverStatus.OSQP_UNSOLVED) or it0 >= max_iter:
+                        break
+                    if time.perf_counter() - t0 > time_limit:
+                        res = res._replace(
+                            status=jnp.int32(int(SolverStatus.OSQP_TIME_LIMIT_REACHED))
+                        )
+                        break
+            except KeyboardInterrupt:
+                if res is None:
+                    raise  # interrupted before any chunk completed
+                res = res._replace(status=jnp.int32(int(SolverStatus.OSQP_SIGINT)))
+            res = res._replace(
+                primdual_acc=jnp.asarray(pd_acc), rho_updates=jnp.int32(rupd_acc)
+            )
 
         status = int(res.status)
         self._iterates = res.iterates
@@ -413,6 +439,7 @@ class Solver:
         # Schur operator's 1/delta conditioning defeats float32.
         info.status_polish = 0
         info.polish_time = 0.0
+        sol_ls = None
         if stg.polishing and status == int(SolverStatus.OSQP_SOLVED):
             tp = time.perf_counter()
             import contextlib
@@ -455,6 +482,26 @@ class Solver:
                 y_out = cinv_h * (E_h * pol.y)
             else:
                 info.status_polish = -1
+                # line-search fallback family (ref _osqp.py:1817-1826):
+                # unscaled samples of the ADMM->polished segment, exposed as
+                # results.linesearch
+                with ctx:
+                    ls = core.line_search_family(
+                        _qp_data_astype(self._data, f64),
+                        core.Scaling(*(v.astype(f64) for v in self._scal)),
+                        res.iterates.x.astype(f64),
+                        res.iterates.z.astype(f64),
+                        res.iterates.y.astype(f64),
+                        jnp.asarray(pol.x, f64),
+                        jnp.asarray(pol.z, f64),
+                        jnp.asarray(pol.y, f64),
+                    )
+                from types import SimpleNamespace
+
+                sol_ls = SimpleNamespace(
+                    t=np.asarray(ls.t), X=np.asarray(ls.X),
+                    Z=np.asarray(ls.Z), Y=np.asarray(ls.Y),
+                )
             info.polish_time = time.perf_counter() - tp
 
         if self._first_run:
@@ -474,6 +521,7 @@ class Solver:
         sol.y = y_out
         sol.prim_inf_cert = np.asarray(res.prim_inf_cert, np.float64)
         sol.dual_inf_cert = np.asarray(res.dual_inf_cert, np.float64)
+        sol.linesearch = sol_ls
         return sol, info
 
     # -- warm start / updates ----------------------------------------------

@@ -442,6 +442,12 @@ class OSQP:
             prim_inf_cert=solution.prim_inf_cert,
             dual_inf_cert=solution.dual_inf_cert,
             info=info_ns,
+            # Polish line-search fallback family (ref purepy results carry a
+            # .linesearch member, /root/reference/src/osqppurepy/_osqp.py:326-330):
+            # None unless polish was attempted and rejected, then a namespace
+            # (t, X, Z, Y) of unscaled samples on the ADMM->polished segment
+            # (ref _osqp.py:1817-1826, 1830-1855).
+            linesearch=getattr(solution, 'linesearch', None),
         )
         self._derivative_cache['results'] = results
         return results

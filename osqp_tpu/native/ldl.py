@@ -81,9 +81,12 @@ def _fill_reducing_perm(K_triu: sp.csc_matrix):
     symmetrized pattern).  LDL' fill is permutation-sensitive; the natural
     ordering of the ADMM KKT matrix [[P+sigma I, A'], [A, -diag(1/rho)]] is
     often poor because the A block couples late columns to early ones.  RCM
-    clusters the bandwidth, a strict improvement on denser problems (the
-    QDLDL-class C cores use AMD for the same reason).  Returns None when the
-    ordering is the identity (skip the gather/scatter overhead)."""
+    is a bandwidth heuristic and can LOSE to the natural ordering on some
+    patterns (e.g. arrow matrices with a few dense rows; the QDLDL-class C
+    cores use AMD, generally stronger) — the caller therefore runs the cheap
+    symbolic pass for both orderings and keeps whichever yields fewer fill-in
+    entries.  Returns None when the ordering is the identity (skip the
+    gather/scatter overhead)."""
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
     S = (K_triu + K_triu.T).tocsr()
@@ -105,20 +108,61 @@ class LDLFactor:
 
     def __init__(self, K_triu_csc: sp.csc_matrix):
         assert available(), 'native LDL library not available'
-        K = sp.csc_matrix(K_triu_csc)
-        K.sort_indices()
+        K = sp.csc_matrix(K_triu_csc).copy()
         self.n = K.shape[0]
         n = self.n
+        nnz0 = int(K.nnz)
+
+        # Canonical sorted-indices form, remembering the permutation from the
+        # caller's data order (update_values speaks caller order regardless
+        # of whether the input CSC had sorted indices).
+        if K.has_sorted_indices:
+            sort_map = None
+        else:
+            tag = sp.csc_matrix(
+                (
+                    np.arange(1, nnz0 + 1, dtype=np.float64),
+                    K.indices.copy(),
+                    K.indptr.copy(),
+                ),
+                shape=K.shape,
+            )
+            tag.sort_indices()
+            sort_map = (tag.data - 1.0).astype(np.int64)
+            K.sort_indices()
+
+        def _symbolic(Ap, Ai):
+            parent = np.zeros(n, np.int32)
+            Lnz = np.zeros(n, np.int32)
+            flag = np.zeros(n, np.int32)
+            total = _lib.ldl_symbolic(
+                n, _ptr_i(Ap), _ptr_i(Ai), _ptr_i(parent), _ptr_i(Lnz), _ptr_i(flag)
+            )
+            return total, parent, Lnz
+
+        # Natural-ordering symbolic pass first: it also validates the input
+        # (returns < 0 on non-upper-triangular / missing-diagonal patterns),
+        # keeping the loud-failure contract before any permutation rebuild.
+        Ap_nat, Ai_nat = _i32(K.indptr), _i32(K.indices)
+        total_nat, parent_nat, Lnz_nat = _symbolic(Ap_nat, Ai_nat)
+        if total_nat < 0:
+            raise ValueError(
+                'ldl_symbolic failed (matrix must be upper-triangular CSC with diagonal)'
+            )
 
         self._perm = None
-        self._data_map = None
+        self._data_map = sort_map
+        self._Ap, self._Ai = Ap_nat, Ai_nat
+        self._Ax = np.ascontiguousarray(K.data, dtype=np.float64)
+        self._parent, self._Lnz, total = parent_nat, Lnz_nat, total_nat
+
         if os.environ.get('OSQP_TPU_LDL_ORDERING', 'rcm') != 'natural' and n > 1:
             perm = _fill_reducing_perm(K)
             if perm is not None:
                 # Permute the triu pattern: old entry (i, j) lands at
                 # (min, max) of its new coordinates.  Carrying 1-based entry
                 # ids as data through the CSC build yields the map from
-                # permuted-CSC data position -> original data position, so
+                # permuted-CSC data position -> sorted-CSC data position, so
                 # update_values can keep accepting data in caller order.
                 Kc = K.tocoo()
                 pinv = np.empty(n, np.int64)
@@ -129,23 +173,28 @@ class LDLFactor:
                 ids = np.arange(1, Kc.nnz + 1, dtype=np.float64)
                 Kp = sp.csc_matrix((ids, (rows, cols)), shape=(n, n))
                 Kp.sort_indices()
-                self._perm = perm
-                self._data_map = (Kp.data - 1.0).astype(np.int64)
-                Kp.data = np.ascontiguousarray(K.data)[self._data_map]
-                K = Kp
-        self._Ap = _i32(K.indptr)
-        self._Ai = _i32(K.indices)
-        self._Ax = np.ascontiguousarray(K.data, dtype=np.float64)
+                if int(Kp.nnz) != nnz0:
+                    # duplicate (i, j)/(j, i) entries collapsed onto one triu
+                    # position: the input stored both triangles.  The natural
+                    # path fails loudly above; keep that contract here too.
+                    raise ValueError(
+                        'input stores both triangles (duplicate entries collapse '
+                        'under symmetric permutation); pass the upper triangle only'
+                    )
+                Ap_rcm, Ai_rcm = _i32(Kp.indptr), _i32(Kp.indices)
+                total_rcm, parent_rcm, Lnz_rcm = _symbolic(Ap_rcm, Ai_rcm)
+                # Keep RCM only when it strictly reduces fill (symbolic is
+                # O(nnz) — cheap relative to the numeric factorization).
+                if 0 <= total_rcm < total_nat:
+                    rcm_map = (Kp.data - 1.0).astype(np.int64)
+                    self._perm = perm
+                    self._data_map = (
+                        sort_map[rcm_map] if sort_map is not None else rcm_map
+                    )
+                    self._Ap, self._Ai = Ap_rcm, Ai_rcm
+                    self._Ax = np.ascontiguousarray(K.data)[rcm_map].astype(np.float64)
+                    self._parent, self._Lnz, total = parent_rcm, Lnz_rcm, total_rcm
 
-        self._parent = np.zeros(n, np.int32)
-        self._Lnz = np.zeros(n, np.int32)
-        flag = np.zeros(n, np.int32)
-        total = _lib.ldl_symbolic(
-            n, _ptr_i(self._Ap), _ptr_i(self._Ai), _ptr_i(self._parent),
-            _ptr_i(self._Lnz), _ptr_i(flag),
-        )
-        if total < 0:
-            raise ValueError('ldl_symbolic failed (matrix must be upper-triangular CSC with diagonal)')
         self._Lp = np.zeros(n + 1, np.int32)
         np.cumsum(self._Lnz, out=self._Lp[1:])
         self._Li = np.zeros(max(total, 1), np.int32)

@@ -111,6 +111,7 @@ class Settings(NamedTuple):
     rho_is_vec: jax.Array  # bool
     cg_max_iter: jax.Array  # int32
     cg_tol_fraction: jax.Array
+    cg_tol_reduction: jax.Array  # stall-triggered CG-tolerance division factor
     cg_eps_min: jax.Array  # dtype-dependent CG floor
     iter_cap: jax.Array  # int32: iterations allowed THIS call (chunked
     # solving for time_limit support); == max_iter for a full solve
@@ -855,17 +856,20 @@ def solve_scaled_impl(
             )
 
         # Adaptive CG tolerance (indirect mode): monotone tightening toward
-        # the ADMM residual scale, with a forced 10x reduction whenever the
-        # residuals stall - this breaks the loose-CG / stalled-ADMM deadlock
-        # (role of the reference's cg_tol_reduction/cg_tol_fraction settings,
-        # reference bindings.cpp.in:426-428).
+        # the ADMM residual scale (cg_tol_fraction), with a forced
+        # 1/cg_tol_reduction cut whenever the residuals stall - this breaks
+        # the loose-CG / stalled-ADMM deadlock (the reference's
+        # cg_tol_reduction/cg_tol_fraction settings, bindings.cpp.in:426-428;
+        # exact formulas documented in PARITY.md since the C core does not
+        # publish its rule).
         candidate = settings.cg_tol_fraction * jnp.sqrt(st.pri_res * st.dua_res)
         new_cg_tol = jnp.clip(
             jnp.minimum(st.cg_tol, candidate), settings.cg_eps_min, 0.15
         )
         stalled = (st.pri_res > 0.5 * pri_before) & (st.dua_res > 0.5 * dua_before)
+        reduction = jnp.maximum(settings.cg_tol_reduction, 1.0)
         new_cg_tol = jnp.where(
-            stalled, jnp.maximum(new_cg_tol * 0.1, settings.cg_eps_min), new_cg_tol
+            stalled, jnp.maximum(new_cg_tol / reduction, settings.cg_eps_min), new_cg_tol
         )
         st = st._replace(cg_tol=jnp.where(do_check, new_cg_tol, st.cg_tol))
 
@@ -1080,3 +1084,49 @@ def polish(
         pri_res=pri_pol,
         dua_res=dua_pol,
     )
+
+
+class LineSearchFamily(NamedTuple):
+    t: jax.Array  # (N,)
+    X: jax.Array  # (N, n) unscaled primal samples
+    Z: jax.Array  # (N, m)
+    Y: jax.Array  # (N, m)
+
+
+@functools.partial(jax.jit, static_argnames=('n_points',))
+def line_search_family(
+    data: QPData,
+    scal: Scaling,
+    x1, z1, y1,  # scaled ADMM iterates
+    x2, z2, y2,  # scaled polished iterates
+    n_points: int = 1000,
+    t_max=0.002,
+) -> LineSearchFamily:
+    """Polish line-search fallback (ref _osqp.py:1817-1826, 1830-1855): when
+    the polished point does not dominate, the reference samples
+    ``t = linspace(0, t_max, N)`` on the segment between the ADMM and
+    polished iterates, normal-cone-projects each sample, and returns the
+    unscaled family for diagnostics (it does NOT adopt a better point).
+
+    Shape-stable: a fixed (N, n/m) vectorized projection (the reference's
+    per-sample Python loop maps to one batched clip on the VPU).
+
+    Documented deviation: ref :1851 unscales Y with E only, omitting the cinv
+    cost factor its own store_solution applies (ref :1112); Y here is
+    unscaled consistently with ``solution.y``.
+    """
+    dtype = x1.dtype
+    m = data.A.shape[0]
+    t = jnp.linspace(jnp.zeros((), dtype), jnp.asarray(t_max, dtype), n_points)
+    X = x1[None, :] + t[:, None] * (x2 - x1)[None, :]
+    Z = z1[None, :] + t[:, None] * (z2 - z1)[None, :]
+    Y = y1[None, :] + t[:, None] * (y2 - y1)[None, :]
+    # normal-cone projection (ref _osqp.py:676-680) per sample
+    tmp = Z + Y
+    Z = jnp.clip(tmp, data.l[None, :], data.u[None, :])
+    Y = tmp - Z
+    X = X * scal.D[None, :]
+    if m:
+        Z = Z * scal.Einv[None, :]
+        Y = scal.cinv * (Y * scal.E[None, :])
+    return LineSearchFamily(t=t, X=X, Z=Z, Y=Y)

@@ -98,3 +98,60 @@ def test_zero_pivot_still_raises(monkeypatch):
     K_triu = sp.triu(K + K.T, format='csc')
     with pytest.raises((ZeroDivisionError, ValueError)):
         native_ldl.LDLFactor(K_triu)
+
+
+@pytest.mark.parametrize('ordering', ['rcm', 'natural'])
+def test_unsorted_indices_caller_order(ordering, monkeypatch):
+    """An input CSC with UNSORTED column indices must factor correctly and
+    update_values must still speak the caller's original data order."""
+    monkeypatch.setenv('OSQP_TPU_LDL_ORDERING', ordering)
+    K, K_triu, *_ = _kkt(12, 9, seed=21)
+    # scramble indices within each column
+    rng = np.random.default_rng(5)
+    indptr = K_triu.indptr.copy()
+    indices = K_triu.indices.copy()
+    data = K_triu.data.copy()
+    for j in range(K_triu.shape[1]):
+        s, e = indptr[j], indptr[j + 1]
+        perm = rng.permutation(e - s)
+        indices[s:e] = indices[s:e][perm]
+        data[s:e] = data[s:e][perm]
+    K_scr = sp.csc_matrix((data, indices, indptr), shape=K_triu.shape)
+    assert not K_scr.has_sorted_indices
+
+    fac = native_ldl.LDLFactor(K_scr)
+    b = rng.standard_normal(K.shape[0])
+    np.testing.assert_allclose(K @ fac.solve(b), b, atol=1e-8)
+
+    # numeric-only update in the caller's (scrambled) data order
+    data2 = data * 1.7
+    K2 = sp.csc_matrix((data2, indices, indptr), shape=K_triu.shape)
+    fac.update_values(data2)
+    x2 = fac.solve(b)
+    np.testing.assert_allclose(K2 @ x2 + K2.T @ x2 - sp.diags(K2.diagonal()) @ x2, b, atol=1e-8)
+
+
+def test_both_triangles_rejected(monkeypatch):
+    """A full symmetric CSC (both triangles stored) must fail loudly on both
+    ordering paths, never silently collapse duplicates."""
+    K, K_triu, *_ = _kkt(10, 8, seed=3)
+    for ordering in ('rcm', 'natural'):
+        monkeypatch.setenv('OSQP_TPU_LDL_ORDERING', ordering)
+        with pytest.raises(ValueError):
+            native_ldl.LDLFactor(sp.csc_matrix(K))
+
+
+def test_rcm_skipped_when_fill_worse(monkeypatch):
+    """Arrow pattern (one dense final row/col): natural ordering is already
+    fill-free; the ordering choice must not regress it."""
+    monkeypatch.setenv('OSQP_TPU_LDL_ORDERING', 'rcm')
+    n = 40
+    d = sp.diags(np.full(n, 4.0)).tolil()
+    d[:, -1] = 1.0
+    d[-1, -1] = 4.0 * n
+    K_triu = sp.triu(d.tocsc(), format='csc')
+    K_triu.sort_indices()
+    fac = native_ldl.LDLFactor(K_triu)
+    monkeypatch.setenv('OSQP_TPU_LDL_ORDERING', 'natural')
+    fac_nat = native_ldl.LDLFactor(K_triu)
+    assert int(fac._Lp[-1]) <= int(fac_nat._Lp[-1])

@@ -60,3 +60,46 @@ def test_polish_random(self):
     assert self.model.solver_type == self.opts['solver_type']
     res = self.model.solve()
     _check(self, res, 'test_polish_random')
+
+
+def test_polish_rejected_linesearch(self):
+    """Rejected polish must return the reference's line-search fallback
+    family (ref _osqp.py:1817-1826, 1830-1855): N unscaled, normal-cone-
+    projected samples of the ADMM->polished segment, with t=0 equal to the
+    ADMM solution.  A huge polish regularization (delta=1) forces rejection.
+    """
+    import numpy as np
+
+    P, q, A, l, u = problems.polish_random()
+    opts = dict(self.opts, delta=1.0, polish_refine_iter=0)
+    self.model.setup(P=P, q=q, A=A, l=l, u=u, **opts)
+    res = self.model.solve()
+    assert res.info.status_val == 1
+    assert res.info.status_polish == -1, res.info.status_polish
+    ls = res.linesearch
+    assert ls is not None
+    n, m = P.shape[0], A.shape[0]
+    assert ls.X.shape == (1000, n) and ls.Z.shape == (1000, m) and ls.Y.shape == (1000, m)
+    assert ls.t[0] == 0.0 and np.isclose(ls.t[-1], 0.002)
+    # t=0 is the (unscaled) ADMM solution the solver returned
+    nptest.assert_allclose(ls.X[0], res.x, rtol=1e-6, atol=1e-8)
+    nptest.assert_allclose(ls.Y[0], res.y, rtol=1e-6, atol=1e-8)
+    # every sample satisfies the normal-cone constraint on the ORIGINAL data:
+    # z in [l, u] and y_i != 0 only at active bounds
+    assert (ls.Z >= l[None, :] - 1e-9).all() and (ls.Z <= u[None, :] + 1e-9).all()
+    interior = (ls.Z > l[None, :] + 1e-9) & (ls.Z < u[None, :] - 1e-9)
+    assert np.abs(np.where(interior, ls.Y, 0.0)).max() < 1e-9
+    # the family brackets points at least as good as the ADMM endpoint
+    Pd, Ad = P.toarray(), A.toarray()
+    pri = np.abs(ls.X @ Ad.T - ls.Z).max(axis=1)
+    dua = np.abs(ls.X @ Pd.T + q[None, :] + ls.Y @ Ad).max(axis=1)
+    worst = np.maximum(pri, dua)
+    assert worst.min() <= worst[0] + 1e-12
+
+
+def test_polish_accepted_has_no_linesearch(self):
+    P, q, A, l, u = problems.polish_simple()
+    self.model.setup(P=P, q=q, A=A, l=l, u=u, **self.opts)
+    res = self.model.solve()
+    assert res.info.status_polish == 1
+    assert res.linesearch is None
