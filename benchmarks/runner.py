@@ -1,26 +1,71 @@
-"""Benchmark suite runner: random sparse QP families with parity reporting.
+"""Benchmark suite runner: QP families with independent parity reporting.
 
 The reference's accuracy story is pinned by the OSQP paper's Maros-Meszaros
-results at eps 1e-3 (see BASELINE.md).  The curated Maros-Meszaros set is not
-redistributable inside this repo, so the suite here generates seeded random
-families with the same structural variety (inequality QPs, equality-
-constrained, degenerate, LPs, wide/tall A) and reports, per backend:
+results at eps 1e-3 (see BASELINE.md).  Two comparator tiers:
 
-* status parity and iteration-count parity vs the float64 reference core
-  (the OSQP-algorithm oracle), and
-* wall-clock per solve.
+* **oracle** - the repo's own float64 reference core (always available);
+* **purepy** - the reference's OWN pure-Python solver imported straight from
+  ``/root/reference/src/osqppurepy`` (an implementation this repo did not
+  write): status + iteration parity against it breaks any
+  self-certification loop.  Matched settings: purepy checks termination
+  every iteration, has no duality-gap criterion, and adapts rho every 200
+  iterations (reference _osqp.py:1225-1243), so the solver under test runs
+  ``check_termination=1, check_dualgap=False, adaptive_rho_interval=200``
+  for those rows.
 
-Run:  python benchmarks/runner.py [--sizes small|medium|large] [--algebra jax]
+Problem sources:
+
+* seeded random families with the Maros-Meszaros structural variety
+  (inequality QPs, equality-constrained, degenerate, LPs, wide/tall A);
+* ``--maros-dir DIR`` - a directory of Maros-Meszaros ``.mat`` files in the
+  osqp_benchmarks layout (keys P, q, A, l, u) is used INSTEAD when provided.
+
+Run:  python benchmarks/runner.py [--sizes small|medium|large]
+      [--algebra jax] [--comparator oracle|purepy|both] [--maros-dir DIR]
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
 import json
+import os
 import time
 
 import numpy as np
 import scipy.sparse as sparse
+
+_REFERENCE_SRC = '/root/reference/src'
+
+# purepy (0.6-era) status values -> this package's SolverStatus values
+_PUREPY_STATUS = {
+    1: 1,    # SOLVED
+    2: 2,    # SOLVED_INACCURATE
+    -3: 3,   # PRIMAL_INFEASIBLE
+    3: 4,    # PRIMAL_INFEASIBLE_INACCURATE
+    -4: 5,   # DUAL_INFEASIBLE
+    4: 6,    # DUAL_INFEASIBLE_INACCURATE
+    -2: 7,   # MAX_ITER_REACHED
+    -7: 9,   # NON_CVX
+    -10: 11,  # UNSOLVED
+}
+
+
+def load_purepy():
+    """Import the reference's own pure-Python solver as an independent
+    comparator; None when the reference tree is unavailable."""
+    import sys
+
+    if not os.path.isdir(os.path.join(_REFERENCE_SRC, 'osqppurepy')):
+        return None
+    if _REFERENCE_SRC not in sys.path:
+        sys.path.insert(0, _REFERENCE_SRC)
+    try:
+        import osqppurepy  # noqa: PLC0415
+
+        return osqppurepy
+    except Exception:
+        return None
 
 
 def problem_family(kind, n, m, seed):
@@ -58,6 +103,42 @@ def problem_family(kind, n, m, seed):
     return P, q, A, l, u
 
 
+def load_maros_dir(path):
+    """Yield (name, P, q, A, l, u) from Maros-Meszaros .mat files in the
+    osqp_benchmarks layout (sparse P/A, vector q/l/u; key aliases accepted)."""
+    import scipy.io as sio
+
+    for fn in sorted(glob.glob(os.path.join(path, '*.mat'))):
+        try:
+            d = sio.loadmat(fn)
+        except Exception as e:  # unreadable file: report, keep going
+            print(f'skip {fn}: {e}')
+            continue
+
+        def pick(*keys):
+            for k in keys:
+                if k in d:
+                    return d[k]
+            return None
+
+        P = pick('P', 'Q')
+        q = pick('q', 'c')
+        A = pick('A')
+        l = pick('l', 'rl')
+        u = pick('u', 'ru')
+        if P is None or q is None or A is None:
+            print(f'skip {fn}: missing P/q/A keys')
+            continue
+        P = sparse.csc_matrix(P)
+        A = sparse.csc_matrix(A)
+        q = np.asarray(q, float).ravel()
+        l = (np.full(A.shape[0], -np.inf) if l is None
+             else np.asarray(l, float).ravel())
+        u = (np.full(A.shape[0], np.inf) if u is None
+             else np.asarray(u, float).ravel())
+        yield os.path.splitext(os.path.basename(fn))[0], P, q, A, l, u
+
+
 SIZES = {
     'small': [(50, 75), (100, 150)],
     'medium': [(200, 300), (500, 750)],
@@ -66,84 +147,128 @@ SIZES = {
 KINDS = ['ineq', 'eq', 'mixed', 'lp', 'loose']
 
 
+def _iter_problems(args):
+    if args.maros_dir:
+        yield from load_maros_dir(args.maros_dir)
+        return
+    for size_class in args.sizes.split(','):
+        for (n, m) in SIZES[size_class]:
+            for kind in KINDS:
+                P, q, A, l, u = problem_family(kind, n, m, seed=hash((kind, n)) % 2**31)
+                yield f'{kind}-{n}x{m}', P, q, A, l, u
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--sizes', default='small,medium')
     ap.add_argument('--algebra', default='jax')
     ap.add_argument('--solver-type', default='direct')
     ap.add_argument('--eps', type=float, default=1e-3)
+    ap.add_argument('--comparator', default='both',
+                    choices=['oracle', 'purepy', 'both'])
+    ap.add_argument('--maros-dir', default=os.environ.get('OSQP_TPU_MAROS_DIR'))
     args = ap.parse_args()
 
     import osqp_tpu as osqp
 
-    opts = dict(
+    purepy = load_purepy() if args.comparator in ('purepy', 'both') else None
+    if args.comparator in ('purepy', 'both') and purepy is None:
+        print('note: reference osqppurepy unavailable; oracle rows only')
+
+    base_opts = dict(
         verbose=False,
         eps_abs=args.eps,
         eps_rel=args.eps,
         max_iter=20000,
         polishing=False,
     )
+    # purepy comparability settings (see module docstring)
+    purepy_match = dict(check_termination=1, check_dualgap=False,
+                        adaptive_rho_interval=200)
 
     rows = []
-    for size_class in args.sizes.split(','):
-        for (n, m) in SIZES[size_class]:
-            for kind in KINDS:
-                P, q, A, l, u = problem_family(kind, n, m, seed=hash((kind, n)) % 2**31)
+    for name, P, q, A, l, u in _iter_problems(args):
+        row = dict(name=name, n=P.shape[0], m=A.shape[0])
 
-                # oracle (float64 scipy reference core)
-                t0 = time.perf_counter()
-                ref = osqp.OSQP(algebra='numpy')
-                ref.setup(P=P, q=q, A=A, l=l, u=u, **opts)
-                rres = ref.solve()
-                t_ref = time.perf_counter() - t0
+        if args.comparator in ('oracle', 'both'):
+            t0 = time.perf_counter()
+            ref = osqp.OSQP(algebra='numpy')
+            ref.setup(P=P, q=q, A=A, l=l, u=u, **base_opts)
+            rres = ref.solve()
+            row['t_oracle'] = round(time.perf_counter() - t0, 4)
 
-                # backend under test
-                t0 = time.perf_counter()
-                model = osqp.OSQP(algebra=args.algebra)
-                model.setup(P=P, q=q, A=A, l=l, u=u, solver_type=args.solver_type, **opts)
-                t_setup = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                res = model.solve()
-                t_solve = time.perf_counter() - t0
-
-                obj_match = (
+            t0 = time.perf_counter()
+            model = osqp.OSQP(algebra=args.algebra)
+            model.setup(P=P, q=q, A=A, l=l, u=u,
+                        solver_type=args.solver_type, **base_opts)
+            row['t_setup'] = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
+            res = model.solve()
+            row['t_solve'] = round(time.perf_counter() - t0, 4)
+            row.update(
+                status=res.info.status_val, status_oracle=rres.info.status_val,
+                iters=res.info.iter, iters_oracle=rres.info.iter,
+                obj_match=(
                     abs(res.info.obj_val - rres.info.obj_val)
                     <= 1e-3 * max(1.0, abs(rres.info.obj_val))
                     if res.info.status_val == rres.info.status_val == 1
                     else None
-                )
-                rows.append(
-                    dict(
-                        kind=kind, n=n, m=m,
-                        status=res.info.status_val,
-                        status_ref=rres.info.status_val,
-                        iters=res.info.iter,
-                        iters_ref=rres.info.iter,
-                        obj_match=obj_match,
-                        t_setup=round(t_setup, 4),
-                        t_solve=round(t_solve, 4),
-                        t_ref=round(t_ref, 4),
-                    )
-                )
-                r = rows[-1]
-                print(
-                    f"{kind:6s} n={n:5d} m={m:5d}  status {r['status']}/{r['status_ref']}"
-                    f"  iters {r['iters']}/{r['iters_ref']}  solve {r['t_solve']:.3f}s"
-                    f"  (ref {r['t_ref']:.3f}s)"
-                )
+                ),
+            )
 
-    status_parity = np.mean([r['status'] == r['status_ref'] for r in rows])
-    iter_parity = np.mean(
-        [r['iters'] == r['iters_ref'] for r in rows if r['status'] == r['status_ref']]
-    )
+        if purepy is not None:
+            pp = purepy.OSQP()
+            t0 = time.perf_counter()
+            pp.setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
+                     eps_abs=args.eps, eps_rel=args.eps,
+                     max_iter=20000, polish=False)
+            rp = pp.solve()
+            row['t_purepy'] = round(time.perf_counter() - t0, 4)
+
+            mp_model = osqp.OSQP(algebra=args.algebra)
+            mp_model.setup(P=P, q=q, A=A, l=l, u=u,
+                           solver_type=args.solver_type,
+                           **dict(base_opts, **purepy_match))
+            mp_res = mp_model.solve()
+            row.update(
+                status_pp=mp_res.info.status_val,
+                status_purepy=_PUREPY_STATUS.get(rp.info.status_val,
+                                                 rp.info.status_val),
+                iters_pp=mp_res.info.iter,
+                iters_purepy=rp.info.iter,
+            )
+
+        rows.append(row)
+        msg = f"{name:18s} n={row['n']:5d} m={row['m']:5d}"
+        if 'status' in row:
+            msg += (f"  vs-oracle {row['status']}/{row['status_oracle']}"
+                    f" it {row['iters']}/{row['iters_oracle']}")
+        if 'status_purepy' in row:
+            msg += (f"  vs-purepy {row['status_pp']}/{row['status_purepy']}"
+                    f" it {row['iters_pp']}/{row['iters_purepy']}")
+        print(msg)
+
+    summary = dict(problems=len(rows))
+    oracle_rows = [r for r in rows if 'status_oracle' in r]
+    if oracle_rows:
+        summary['status_parity_vs_oracle'] = round(float(np.mean(
+            [r['status'] == r['status_oracle'] for r in oracle_rows])), 3)
+        summary['iteration_parity_vs_oracle'] = round(float(np.mean(
+            [r['iters'] == r['iters_oracle'] for r in oracle_rows
+             if r['status'] == r['status_oracle']])), 3)
+        summary['total_solve_time'] = round(
+            sum(r['t_solve'] for r in oracle_rows), 3)
+        summary['total_oracle_time'] = round(
+            sum(r['t_oracle'] for r in oracle_rows), 3)
+    pp_rows = [r for r in rows if 'status_purepy' in r]
+    if pp_rows:
+        summary['status_parity_vs_reference_purepy'] = round(float(np.mean(
+            [r['status_pp'] == r['status_purepy'] for r in pp_rows])), 3)
+        summary['iteration_parity_vs_reference_purepy'] = round(float(np.mean(
+            [r['iters_pp'] == r['iters_purepy'] for r in pp_rows
+             if r['status_pp'] == r['status_purepy']])), 3)
     print('\nsummary:')
-    print(json.dumps(dict(
-        problems=len(rows),
-        status_parity=round(float(status_parity), 3),
-        iteration_parity=round(float(iter_parity), 3),
-        total_solve_time=round(sum(r['t_solve'] for r in rows), 3),
-        total_ref_time=round(sum(r['t_ref'] for r in rows), 3),
-    )))
+    print(json.dumps(summary))
 
 
 if __name__ == '__main__':
