@@ -8,11 +8,22 @@ condensed-MPC scenario), per-instance costs and bounds.
 Engine: the shared-structure batched solver (osqp_tpu.batch_shared) - every
 per-iteration op is a single dense MXU matmul over the whole batch.
 
-Baseline: the float64 scipy reference core (osqp_tpu._oracle, the stand-in
-for the OSQP-C builtin backend loop - same algorithm, same tolerances)
-solving the identical instances sequentially on CPU.
+Baseline: the repo's codegen-emitted embedded C solver at -O3 (OSQP-C
+stand-in; the real C core is not fetchable here) driving the same warm
+update(q)+solve loop on one CPU core.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Roofline story (BASELINE.md:31 "KKT solve step at HBM speed-of-light"):
+besides the headline shape, `detail.shapes` carries additional problem sizes
+with `mfu` (vs the chip's bf16 matmul peak), `mxu_frac_f32` (vs the
+effective float32-highest matmul peak - f32 `precision=highest` decomposes
+into 6 bf16 MXU passes, so peak/6 is the attainable ceiling for this
+numerically-required mode), `hbm_frac` (estimated HBM traffic vs peak
+bandwidth) and a `regime` classification; `detail.kkt_probe` measures the
+KKT solve step ITSELF (the dense batched solve matmul / the sparse
+normal-equations matvec) in isolation against the roofline.  Methodology
+and formulas in benchmarks/RESULTS.md.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
 
 import json
@@ -21,6 +32,12 @@ import sys
 import time
 
 import numpy as np
+
+# TPU v5e (v5 lite) peaks
+BF16_PEAK = 197e12  # FLOP/s (dense matmul, bf16)
+F32_HIGHEST_PEAK = BF16_PEAK / 6  # 6-pass bf16 decomposition of f32-highest
+HBM_PEAK = 819e9  # bytes/s
+
 
 def _enable_compile_cache():
     """Persistent XLA compilation cache: repeated bench runs (e.g. the
@@ -64,35 +81,28 @@ def build_shared_problems(B, n, m, seed=0):
     return P, q, A, l, u
 
 
-def main():
-    # Default (driver/headline) workload: B=4096, n=32, m=48, 10 steps.
-    # Optional overrides for the problem-size MFU study
-    # (benchmarks/RESULTS.md): `python bench.py [B] [n] [m] [steps]`.
-    argv = [int(a) for a in sys.argv[1:5]]
-    B = argv[0] if len(argv) > 0 else 4096
-    n = argv[1] if len(argv) > 1 else 32
-    m = argv[2] if len(argv) > 2 else 48
-    steps = argv[3] if len(argv) > 3 else 10
-    eps = 1e-3
-
+def _sync():
     import jax
     import jax.numpy as jnp
 
-    _enable_compile_cache()
+    jax.block_until_ready(jnp.zeros(1) + 1)  # flush lazy-completion backends
+
+
+def measure_shared(B, n, m, steps, eps=1e-3, reps=30, batches=4, seed=0):
+    """Sustained-throughput measurement of the shared-structure engine at
+    one problem shape; returns a row dict with roofline fields."""
+    import jax
+    import jax.numpy as jnp
 
     from osqp_tpu._oracle.solver import OracleSettings
     from osqp_tpu.batch import default_core_settings
     from osqp_tpu.batch_shared import shared_mpc_rollout, shared_setup
 
-    P, q, A, l, u = build_shared_problems(B, n, m)
-
+    P, q, A, l, u = build_shared_problems(B, n, m, seed=seed)
     f32 = jnp.float32
     host = OracleSettings(eps_abs=eps, eps_rel=eps)
     stg = default_core_settings(f32, eps_abs=eps, eps_rel=eps)
-    # Establish the device connection before timing setup: the axon tunnel's
-    # first contact can take minutes under load (observed 39-639 s variance)
-    # and is environment latency, not solver setup work.
-    np.asarray(jnp.zeros(8) + 1)
+    np.asarray(jnp.zeros(8) + 1)  # establish the device connection
     t0 = time.perf_counter()
     P_s, A_s, Q, L_t, U_t, scal_t, rho0, Minv, M, rho_vec = shared_setup(
         P, A, q, l, u, host, dtype=f32
@@ -114,56 +124,185 @@ def main():
 
     # Steady-state throughput: the axon tunnel charges a ~50 ms host<->device
     # roundtrip to any SYNCHRONIZED call, but dispatch is async and the
-    # device queue pipelines back-to-back executions (measured r3: 1 rep =
-    # 50 ms/rollout, 30 reps = 5.3 ms/rollout for identical programs).
-    # Production batched-MPC serving is a continuous stream, so the headline
-    # is the sustained rate: many rollouts per synchronization, median over
-    # batches, first batch discarded (one-time lazy linking).  Per-call
-    # latency is reported separately in detail.latency_ms.
-    reps, batches = 30, 4
+    # device queue pipelines back-to-back executions.  Production batched-MPC
+    # serving is a continuous stream, so the headline is the sustained rate:
+    # many rollouts per synchronization, median over batches, first batch
+    # discarded (one-time lazy linking).
     times = []
     for _ in range(batches):
         t0 = time.perf_counter()
         for _ in range(reps):
             carry, (xs, iters, statuses) = rollout()
         jax.block_until_ready(xs)
-        jax.block_until_ready(jnp.zeros(1) + 1)  # flush lazy-completion backends
+        _sync()
         times.append((time.perf_counter() - t0) / reps)
-    elapsed = float(np.median(times[1:]))
+    elapsed = float(np.median(times[1:] if batches > 1 else times))
 
-    # single-call (synchronized) latency, for the latency-sensitive reader
+    # single-call (synchronized) latency
     t0 = time.perf_counter()
     carry, (xs, iters, statuses) = rollout()
     jax.block_until_ready(xs)
-    jax.block_until_ready(jnp.zeros(1) + 1)
+    _sync()
     latency_ms = (time.perf_counter() - t0) * 1e3
+
     throughput = B * steps / elapsed
     statuses_np = np.asarray(statuses)
     iters_np = np.asarray(iters)
-    solved_frac = float((statuses_np == 1).mean())
+    mean_iters = float(iters_np.mean())
 
-    # MFU: useful ADMM-iteration flops (the (n+m, n+2m) affine map per
-    # instance per iteration) at the sustained rate, vs the chip's bf16 peak
-    # (TPU v5e: 197 TFLOP/s).  Methodology in benchmarks/RESULTS.md.
-    flops_per_iter = 2 * (n + m) * (n + 2 * m)
-    useful_flops = throughput * float(iters_np.mean()) * flops_per_iter
-    mfu = round(useful_flops / 197e12, 5)
+    # roofline accounting per ADMM iteration (formulas in RESULTS.md):
+    # useful flops  = the (n+m, n+2m) affine map per instance,
+    # HBM bytes    ~= weights (n+m)(n+2m) re-read + state (n+2m,B) r/w +
+    #                 output (n+m,B) write, 4 bytes each (f32)
+    flops_per_iter = 2 * (n + m) * (n + 2 * m)  # per instance
+    bytes_per_iter = 4.0 * ((n + m) * (n + 2 * m) + B * (3 * (n + 2 * m) + (n + m)))
+    iter_rate = throughput * mean_iters  # instance-iterations / s
+    achieved_flops = iter_rate * flops_per_iter
+    achieved_bytes = iter_rate / B * bytes_per_iter
+    mfu = achieved_flops / BF16_PEAK
+    mxu_frac_f32 = achieved_flops / F32_HIGHEST_PEAK
+    hbm_frac = achieved_bytes / HBM_PEAK
+    if max(mxu_frac_f32, hbm_frac) < 0.05:
+        regime = 'dispatch/latency-bound'
+    elif mxu_frac_f32 >= hbm_frac:
+        regime = 'MXU-bound'
+    else:
+        regime = 'HBM-bound'
 
-    # Compiled-C baseline (honest OSQP-C stand-in): the repo's own
-    # codegen-emitted embedded C solver at -O3 driving the same warm
-    # update(q)+solve loop on one CPU core.  The real OSQP C core cannot be
-    # built here (no network egress to fetch it); this is the same ADMM
-    # algorithm in compiled C at the same tolerances — methodology in
-    # benchmarks/RESULTS.md.  Falls back to the float64 scipy oracle if the
-    # C toolchain is unavailable.
+    return dict(
+        engine='shared', batch=B, n=n, m=m, mpc_steps=steps,
+        throughput=round(throughput, 2),
+        solved_frac=float((statuses_np == 1).mean()),
+        mean_iters_warm=mean_iters,
+        setup_time_s=round(setup_time, 3),
+        latency_ms=round(latency_ms, 2),
+        mfu=round(mfu, 5),
+        mxu_frac_f32=round(mxu_frac_f32, 5),
+        hbm_frac=round(hbm_frac, 5),
+        regime=regime,
+    ), (P, q, A, l, u, q_seq)
+
+
+def kkt_dense_probe(nm, B, iters=100):
+    """The direct-mode KKT solve step in isolation: the batched explicit-
+    inverse matmul (nm, nm) @ (nm, B) that the shared engine's 'inv' path
+    executes every iteration, chained ITERS times on-device.  Reports the
+    achieved fraction of the f32-highest matmul roofline - the
+    speed-of-light test for the KKT step at this shape."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.default_rng(3)
+    W = jnp.asarray(rng.standard_normal((nm, nm)) / np.sqrt(nm), jnp.float32)
+    X = jnp.asarray(rng.standard_normal((nm, B)), jnp.float32)
+
+    @jax.jit
+    def chain(W, X):
+        return lax.fori_loop(0, iters, lambda _, Xc: W @ Xc, X)
+
+    jax.block_until_ready(chain(W, X))  # compile
+    reps = 5
+    t0 = time.perf_counter()
+    out = X
+    for _ in range(reps):
+        out = chain(W, out)
+    jax.block_until_ready(out)
+    _sync()
+    dt = (time.perf_counter() - t0) / reps
+    flops = 2.0 * nm * nm * B * iters
+    bytes_ = 4.0 * (nm * nm + 2 * nm * B) * iters
+    return dict(
+        kind='dense-KKT-solve-matmul', nm=nm, batch=B,
+        tflops=round(flops / dt / 1e12, 2),
+        mxu_frac_f32=round(flops / dt / F32_HIGHEST_PEAK, 4),
+        mfu=round(flops / dt / BF16_PEAK, 4),
+        hbm_frac=round(bytes_ / dt / HBM_PEAK, 4),
+    )
+
+
+def kkt_sparse_probe(n, m, nnz_per_row=16, iters=50):
+    """The indirect-mode KKT step in isolation: the fused normal-equations
+    matvec  M v = P v + sigma v + A' (rho * (A v))  on BCOO operators -
+    the per-CG-iteration kernel of the sparse/large-QP path - chained
+    ITERS times on-device.  The bytes model counts each stored entry once
+    (4 B data + 8 B index) per operand use plus the dense vectors."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from jax import lax
+    from jax.experimental import sparse as jsparse
+
+    rng = np.random.default_rng(5)
+    dens_p = nnz_per_row / n
+    dens_a = nnz_per_row / n
+    P_sp = sp.random(n, n, density=dens_p, random_state=rng, format='coo')
+    P_sp = (P_sp + P_sp.T).tocoo()
+    A_sp = sp.random(m, n, density=dens_a, random_state=rng, format='coo')
+
+    def to_bcoo(S, shape):
+        return jsparse.BCOO(
+            (jnp.asarray(S.data, jnp.float32),
+             jnp.asarray(np.stack([S.row, S.col], 1), jnp.int32)),
+            shape=shape,
+        )
+
+    P_b = to_bcoo(P_sp, (n, n))
+    A_b = to_bcoo(A_sp, (m, n))
+    At_b = to_bcoo(
+        type('T', (), {'data': A_sp.data, 'row': A_sp.col, 'col': A_sp.row})(),
+        (n, m),
+    )
+    rho = jnp.full((m,), 0.1, jnp.float32)
+    v0 = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    @jax.jit
+    def chain(v):
+        def body(_, v):
+            Mv = P_b @ v + 1e-6 * v + At_b @ (rho * (A_b @ v))
+            return Mv / jnp.maximum(jnp.max(jnp.abs(Mv)), 1e-30)
+
+        return lax.fori_loop(0, iters, body, v)
+
+    jax.block_until_ready(chain(v0))  # compile
+    reps = 5
+    t0 = time.perf_counter()
+    out = v0
+    for _ in range(reps):
+        out = chain(out)
+    jax.block_until_ready(out)
+    _sync()
+    dt = (time.perf_counter() - t0) / reps
+
+    nnz_p, nnz_a = P_sp.nnz, A_sp.nnz
+    flops = 2.0 * (nnz_p + 2 * nnz_a) * iters
+    bytes_ = ((nnz_p + 2 * nnz_a) * 12.0 + 4.0 * (3 * n + 2 * m)) * iters
+    return dict(
+        kind='sparse-KKT-normal-eq-matvec', n=n, m=m,
+        nnz=int(nnz_p + nnz_a),
+        gflops=round(flops / dt / 1e9, 2),
+        gbytes_per_s=round(bytes_ / dt / 1e9, 2),
+        hbm_frac=round(bytes_ / dt / HBM_PEAK, 4),
+        matvec_us=round(dt / iters * 1e6, 1),
+    )
+
+
+def measure_baseline(P, q, A, l, u, q_seq, eps):
+    """Compiled-C baseline (honest OSQP-C stand-in): the repo's own
+    codegen-emitted embedded C solver at -O3 driving the same warm
+    update(q)+solve loop on one CPU core.  The real OSQP C core cannot be
+    built here (no network egress to fetch it); this is the same ADMM
+    algorithm in compiled C at the same tolerances - methodology in
+    benchmarks/RESULTS.md.  Falls back to the float64 scipy oracle if the
+    C toolchain is unavailable."""
     qs_host = np.asarray(q_seq).transpose(0, 2, 1).astype(np.float64)
+    steps, B = qs_host.shape[0], qs_host.shape[1]
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), 'tools'))
         from bench_c_baseline import measure_c_baseline
 
         cres = measure_c_baseline(P, q, A, l, u, qs_host, eps)
-        ref_throughput = cres['solves_per_s']
-        baseline_label = cres['label']
+        return cres['solves_per_s'], cres['label']
     except Exception as e:  # pragma: no cover - toolchain-dependent
         import scipy.sparse as sp
 
@@ -184,33 +323,76 @@ def main():
                 s.update_data_vec(q=qs_host[k, b % B_ref])
                 s.solve()
         ref_elapsed = time.perf_counter() - t0
-        ref_throughput = B_ref * steps / ref_elapsed
-        baseline_label = (
+        return B_ref * steps / ref_elapsed, (
             f'float64 reference core (scipy splu), sequential CPU '
             f'[C baseline unavailable: {e}]'
         )
+
+
+def main():
+    # Default (driver/headline) workload: B=4096, n=32, m=48, 10 steps.
+    # Optional overrides for ad-hoc studies: `python bench.py [B] [n] [m] [steps]`.
+    argv = [int(a) for a in sys.argv[1:5]]
+    B = argv[0] if len(argv) > 0 else 4096
+    n = argv[1] if len(argv) > 1 else 32
+    m = argv[2] if len(argv) > 2 else 48
+    steps = argv[3] if len(argv) > 3 else 10
+    default_run = len(argv) == 0
+    eps = 1e-3
+
+    import jax
+
+    if os.environ.get('OSQP_TPU_BENCH_DEVICE') == 'cpu':
+        # flow-check mode off the chip (this jax build ignores JAX_PLATFORMS)
+        jax.config.update('jax_platforms', 'cpu')
+    _enable_compile_cache()
+
+    headline, (P, q, A, l, u, q_seq) = measure_shared(B, n, m, steps, eps=eps)
+    ref_throughput, baseline_label = measure_baseline(P, q, A, l, u, q_seq, eps)
+
+    shapes = [headline]
+    kkt_probes = []
+    if default_run and os.environ.get('OSQP_TPU_BENCH_SHAPES', '1') != '0':
+        # second shape: 4x the linear dimension - the affine map carries
+        # ~10x the flops per iteration at the same dispatch overheads
+        row128, _ = measure_shared(1024, 128, 192, steps, eps=eps,
+                                   reps=10, batches=2, seed=2)
+        shapes.append(row128)
+        # the KKT solve step in isolation, against the roofline
+        kkt_probes.append(kkt_dense_probe(nm=32 + 48, B=4096))
+        kkt_probes.append(kkt_dense_probe(nm=128 + 192, B=1024))
+        kkt_probes.append(kkt_dense_probe(nm=1024, B=1024))
+        # large sparse indirect shape (BCOO normal-equations matvec)
+        kkt_probes.append(kkt_sparse_probe(n=65536, m=98304))
 
     print(
         json.dumps(
             {
                 'metric': 'batched_mpc_qp_throughput',
-                'value': round(throughput, 2),
+                'value': headline['throughput'],
                 'unit': 'solves/s/chip',
-                'vs_baseline': round(throughput / ref_throughput, 2),
+                'vs_baseline': round(headline['throughput'] / ref_throughput, 2),
                 'detail': {
                     'batch': B,
                     'n': n,
                     'm': m,
                     'mpc_steps': steps,
-                    'solved_frac': solved_frac,
-                    'mean_iters_warm': float(iters_np.mean()),
-                    'setup_time_s': round(setup_time, 3),
+                    'solved_frac': headline['solved_frac'],
+                    'mean_iters_warm': headline['mean_iters_warm'],
+                    'setup_time_s': headline['setup_time_s'],
                     'device': str(jax.devices()[0]),
                     'engine': 'shared-structure batched ADMM (MXU matmuls)',
                     'baseline': baseline_label,
                     'baseline_solves_per_s': round(ref_throughput, 2),
-                    'mfu': mfu,
-                    'latency_ms': round(latency_ms, 2),
+                    'mfu': headline['mfu'],
+                    'latency_ms': headline['latency_ms'],
+                    'peaks': {
+                        'bf16_flops': BF16_PEAK,
+                        'f32_highest_flops': round(F32_HIGHEST_PEAK, 0),
+                        'hbm_bytes_per_s': HBM_PEAK,
+                    },
+                    'shapes': shapes,
+                    'kkt_probe': kkt_probes,
                 },
             }
         )

@@ -35,4 +35,5 @@ u = np.einsum('bmn,bn->bm', A, x0) + s0
 l = u - 2 * s0
 
 res = dp_mp_solve(mesh, P, q, A, l, u, eps_abs=1e-6, eps_rel=1e-6, max_iter=10000)
-print('converged:', bool(res.converged.all()), 'iters:', np.asarray(res.iters))
+print('statuses:', np.asarray(res.status), 'iters:', np.asarray(res.iters))
+print('objectives:', np.asarray(res.obj_val))

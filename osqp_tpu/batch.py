@@ -161,6 +161,18 @@ def mpc_rollout(data, scal, settings: core.Settings, rho, factor, iterates, q_se
     return carry, ys
 
 
+# Continuation-pattern entry point: callers that thread the returned carry
+# back in (rho/factor/iterates are REPLACED by the carry every call) should
+# use this jitted wrapper - donating those buffers lets XLA alias the old
+# iterate/factor HBM into the new carry instead of allocating fresh copies
+# each rollout.  Do NOT pass buffers you still need afterwards.
+mpc_rollout_donated = jax.jit(
+    mpc_rollout,
+    static_argnames=('indirect', 'kkt_method'),
+    donate_argnums=(3, 4, 5),  # rho, factor, iterates
+)
+
+
 def default_core_settings(dtype=jnp.float32, **over) -> core.Settings:
     """Build a traced core.Settings with reference defaults."""
     stg = OracleSettings()

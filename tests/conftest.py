@@ -22,6 +22,13 @@ if '--xla_force_host_platform_device_count' not in os.environ.get('XLA_FLAGS', '
 
 import jax
 
+if os.environ.get('OSQP_TPU_TEST_DEVICE', 'cpu') != 'tpu':
+    # Keep the CPU suite fully off the TPU plugin: this jax build ignores
+    # JAX_PLATFORMS, and merely initializing the experimental axon backend
+    # opens a tunnel connection that can hang the whole test process when
+    # the (single-client) tunnel is busy or unhealthy.
+    jax.config.update('jax_platforms', 'cpu')
+
 jax.config.update('jax_enable_x64', True)
 
 # Persistent XLA compilation cache: the solver cores are large fused programs

@@ -1,7 +1,12 @@
 """Adjoint derivative API (coverage model: reference
 src/osqp/tests/derivative_test.py - validation against
 scipy.optimize.approx_fprime finite differences of the loss
-0.5*||x_hat - x_true||^2)."""
+0.5*||x_hat - x_true||^2, including the equality-constrained and large
+variants, reference derivative_test.py:502-684).
+
+float32 chip rows (OSQP_TPU_TEST_DEVICE=tpu): finite differences need
+float64 solves, so the jax-f32 rows instead validate the jax adjoint output
+against the float64 oracle's adjoint output directly (no FD, no skip)."""
 
 import numpy as np
 import numpy.random as npr
@@ -15,18 +20,6 @@ import osqp_tpu as osqp
 from utils import f32_device
 
 
-@pytest.fixture(autouse=True)
-def _skip_jax_on_f32_device(request):
-    """Adjoint-derivative finite-difference checks need float64 solves
-    (grad_precision 1e-9-scale perturbations); the real-chip jax rows run
-    float32, so they are skipped there — the float64 numpy row still covers
-    the contract (the reference likewise validates derivatives on the CPU
-    builtin backend)."""
-    algebra = request.node.callspec.params.get('algebra') if hasattr(request.node, 'callspec') else None
-    if algebra == 'jax' and f32_device():
-        pytest.skip('adjoint-derivative FD checks need float64 (f32 chip row)')
-
-
 grad_precision = 1e-6
 rel_tol = 5e-3
 abs_tol = 5e-3
@@ -35,8 +28,21 @@ eps_abs = 1e-9
 eps_rel = 1e-9
 max_iter = 500000
 
+# float32-chip row: reachable tolerances + float64 host polish for accuracy
+f32_tol = dict(rel=5e-3, abs=5e-3)
 
-def get_prob(n=10, m=3):
+
+def _setup_opts(algebra):
+    if algebra == 'jax' and f32_device():
+        # residuals below ~1e-5 are unreachable at float32; polish (always
+        # float64 host-side) recovers high-accuracy iterates for the adjoint
+        return dict(eps_abs=3e-6, eps_rel=3e-6, max_iter=200000,
+                    polishing=True, verbose=False)
+    return dict(eps_abs=eps_abs, eps_rel=eps_rel, max_iter=max_iter,
+                verbose=False)
+
+
+def get_prob(n=10, m=3, equalities=0, loose=0):
     L = np.random.randn(n, n - 1)
     P = sparse.csc_matrix(L.dot(L.T) + 0.1 * sparse.eye(n))
     x_0 = npr.randn(n)
@@ -44,6 +50,11 @@ def get_prob(n=10, m=3):
     A = sparse.csc_matrix(npr.randn(m, n))
     u = A.dot(x_0) + s_0
     l = A.dot(x_0) - s_0
+    if equalities:
+        # equality-constrained rows (ref derivative_test.py:510,557)
+        u[:equalities] = l[:equalities]
+    if loose:
+        l[equalities:equalities + loose] = -1e30
     q = npr.randn(n)
     true_x = npr.randn(n)
     return P, q, A, l, u, true_x
@@ -51,7 +62,7 @@ def get_prob(n=10, m=3):
 
 def get_grads(algebra, P, q, A, l, u, true_x):
     model = osqp.OSQP(algebra=algebra)
-    model.setup(P, q, A, l, u, eps_abs=eps_abs, eps_rel=eps_rel, max_iter=max_iter, verbose=False)
+    model.setup(P, q, A, l, u, **_setup_opts(algebra))
     results = model.solve()
     assert results.info.status_val == int(osqp.SolverStatus.OSQP_SOLVED)
     model.adjoint_derivative_compute(dx=results.x - true_x)
@@ -62,8 +73,17 @@ def get_grads(algebra, P, q, A, l, u, true_x):
 
 def solve_x(algebra, P, q, A, l, u):
     model = osqp.OSQP(algebra=algebra)
-    model.setup(P, q, A, l, u, eps_abs=eps_abs, eps_rel=eps_rel, max_iter=max_iter, verbose=False)
+    model.setup(P, q, A, l, u, **_setup_opts(algebra))
     return model.solve().x
+
+
+def _check_vec(algebra, got, make_fd, oracle_value):
+    """float64 rows: validate against finite differences.  float32 chip
+    rows: validate against the float64 oracle's adjoint (FD needs f64)."""
+    if algebra == 'jax' and f32_device():
+        npt.assert_allclose(got, oracle_value, rtol=f32_tol['rel'], atol=f32_tol['abs'])
+    else:
+        npt.assert_allclose(got, make_fd(), rtol=rel_tol, atol=abs_tol)
 
 
 @pytest.mark.parametrize('algebra', ['numpy', 'jax'])
@@ -77,8 +97,9 @@ def test_dl_dq(algebra):
         x = solve_x(algebra, P, qv, A, l, u)
         return 0.5 * np.sum((x - true_x) ** 2)
 
-    dq_fd = approx_fprime(q, f, grad_precision)
-    npt.assert_allclose(dq, dq_fd, rtol=rel_tol, atol=abs_tol)
+    oracle = (get_grads('numpy', P, q, A, l, u, true_x)[1]
+              if algebra == 'jax' and f32_device() else None)
+    _check_vec(algebra, dq, lambda: approx_fprime(q, f, grad_precision), oracle)
 
 
 @pytest.mark.parametrize('algebra', ['numpy', 'jax'])
@@ -96,8 +117,70 @@ def test_dl_dbounds(algebra):
         x = solve_x(algebra, P, q, A, l, uv)
         return 0.5 * np.sum((x - true_x) ** 2)
 
-    npt.assert_allclose(dl, approx_fprime(l, f_l, grad_precision), rtol=rel_tol, atol=abs_tol)
-    npt.assert_allclose(du, approx_fprime(u, f_u, grad_precision), rtol=rel_tol, atol=abs_tol)
+    if algebra == 'jax' and f32_device():
+        _, _, _, dl_o, du_o, _, _ = get_grads('numpy', P, q, A, l, u, true_x)
+        npt.assert_allclose(dl, dl_o, rtol=f32_tol['rel'], atol=f32_tol['abs'])
+        npt.assert_allclose(du, du_o, rtol=f32_tol['rel'], atol=f32_tol['abs'])
+    else:
+        npt.assert_allclose(dl, approx_fprime(l, f_l, grad_precision), rtol=rel_tol, atol=abs_tol)
+        npt.assert_allclose(du, approx_fprime(u, f_u, grad_precision), rtol=rel_tol, atol=abs_tol)
+
+
+@pytest.mark.parametrize('algebra', ['numpy', 'jax'])
+def test_dl_dq_eq(algebra):
+    """Equality-constrained adjoint (ref derivative_test.py:549-591
+    test_dl_dq_eq): active equalities change the differentiable active-set
+    structure; the adjoint must still match finite differences."""
+    npr.seed(11)
+    n, m = 20, 15
+    P, q, A, l, u, true_x = get_prob(n=n, m=m, equalities=8)
+    _, dq, _, _, _, _, _ = get_grads(algebra, P, q, A, l, u, true_x)
+
+    def f(qv):
+        x = solve_x(algebra, P, qv, A, l, u)
+        return 0.5 * np.sum((x - true_x) ** 2)
+
+    oracle = (get_grads('numpy', P, q, A, l, u, true_x)[1]
+              if algebra == 'jax' and f32_device() else None)
+    _check_vec(algebra, dq, lambda: approx_fprime(q, f, grad_precision), oracle)
+
+
+def test_dl_dq_eq_large():
+    """Large equality+loose variant (ref derivative_test.py:593-637
+    test_dl_dq_eq_large, n=100 m=120 with 20 equalities and 20 loose rows)."""
+    npr.seed(12)
+    n, m = 100, 120
+    P, q, A, l, u, true_x = get_prob(n=n, m=m, equalities=20, loose=20)
+    _, dq, _, _, _, _, _ = get_grads('numpy', P, q, A, l, u, true_x)
+
+    def f(qv):
+        x = solve_x('numpy', P, qv, A, l, u)
+        return 0.5 * np.sum((x - true_x) ** 2)
+
+    npt.assert_allclose(dq, approx_fprime(q, f, grad_precision),
+                        rtol=rel_tol, atol=abs_tol)
+
+
+@pytest.mark.parametrize('algebra', ['numpy'])
+def test_dl_dA_eq(algebra):
+    """dA with equality rows (ref derivative_test.py:502-547 test_dl_dA_eq),
+    spot-checked entrywise with central differences."""
+    npr.seed(13)
+    n, m = 12, 9
+    P, q, A, l, u, true_x = get_prob(n=n, m=m, equalities=4)
+    _, _, dA, _, _, _, _ = get_grads(algebra, P, q, A, l, u, true_x)
+
+    Ad = A.toarray()
+    for (i, j) in [(0, 0), (2, 5), (5, 1), (8, 7)]:
+        eps = grad_precision
+        Ap = Ad.copy()
+        Ap[i, j] += eps
+        Am = Ad.copy()
+        Am[i, j] -= eps
+        fp = 0.5 * np.sum((solve_x(algebra, P, q, sparse.csc_matrix(Ap), l, u) - true_x) ** 2)
+        fm = 0.5 * np.sum((solve_x(algebra, P, q, sparse.csc_matrix(Am), l, u) - true_x) ** 2)
+        fd = (fp - fm) / (2 * eps)
+        npt.assert_allclose(dA[i, j], fd, rtol=1e-2, atol=1e-3)
 
 
 @pytest.mark.parametrize('algebra', ['numpy'])
