@@ -88,6 +88,19 @@ def _sync():
     jax.block_until_ready(jnp.zeros(1) + 1)  # flush lazy-completion backends
 
 
+def _materialize(x):
+    """Force completion by transferring a reduction of the RESULT to host.
+
+    On the axon backend, `block_until_ready` + trailing-sync measurably
+    lags (extra ~0.8 ms/rollout of roundtrip overhead) and standalone
+    probe loops produced non-physical timings with it; a host transfer
+    that data-depends on the output is the reliable completion barrier
+    (methodology note in benchmarks/RESULTS.md)."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
 def measure_shared(B, n, m, steps, eps=1e-3, reps=30, batches=4, seed=0):
     """Sustained-throughput measurement of the shared-structure engine at
     one problem shape; returns a row dict with roofline fields."""
@@ -133,16 +146,14 @@ def measure_shared(B, n, m, steps, eps=1e-3, reps=30, batches=4, seed=0):
         t0 = time.perf_counter()
         for _ in range(reps):
             carry, (xs, iters, statuses) = rollout()
-        jax.block_until_ready(xs)
-        _sync()
+        _materialize(xs)
         times.append((time.perf_counter() - t0) / reps)
     elapsed = float(np.median(times[1:] if batches > 1 else times))
 
     # single-call (synchronized) latency
     t0 = time.perf_counter()
     carry, (xs, iters, statuses) = rollout()
-    jax.block_until_ready(xs)
-    _sync()
+    _materialize(xs)
     latency_ms = (time.perf_counter() - t0) * 1e3
 
     throughput = B * steps / elapsed
@@ -183,12 +194,14 @@ def measure_shared(B, n, m, steps, eps=1e-3, reps=30, batches=4, seed=0):
     ), (P, q, A, l, u, q_seq)
 
 
-def kkt_dense_probe(nm, B, iters=100):
+def kkt_dense_probe(nm, B, iters=1000):
     """The direct-mode KKT solve step in isolation: the batched explicit-
     inverse matmul (nm, nm) @ (nm, B) that the shared engine's 'inv' path
-    executes every iteration, chained ITERS times on-device.  Reports the
-    achieved fraction of the f32-highest matmul roofline - the
-    speed-of-light test for the KKT step at this shape."""
+    executes every iteration, chained ITERS times on-device (a DEPENDENT
+    chain, like real ADMM iterations; each iterate is renormalized to keep
+    values finite).  Reports the achieved fraction of the f32-highest
+    matmul roofline - the speed-of-light test for the KKT step at this
+    shape."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -199,16 +212,19 @@ def kkt_dense_probe(nm, B, iters=100):
 
     @jax.jit
     def chain(W, X):
-        return lax.fori_loop(0, iters, lambda _, Xc: W @ Xc, X)
+        def body(_, Xc):
+            Y = W @ Xc
+            return Y / jnp.maximum(jnp.max(jnp.abs(Y)), 1e-30)
 
-    jax.block_until_ready(chain(W, X))  # compile
-    reps = 5
+        return lax.fori_loop(0, iters, body, X)
+
+    _materialize(chain(W, X))  # compile + hard completion barrier
+    reps = 3
     t0 = time.perf_counter()
     out = X
     for _ in range(reps):
         out = chain(W, out)
-    jax.block_until_ready(out)
-    _sync()
+    _materialize(out)
     dt = (time.perf_counter() - t0) / reps
     flops = 2.0 * nm * nm * B * iters
     bytes_ = 4.0 * (nm * nm + 2 * nm * B) * iters
@@ -218,6 +234,7 @@ def kkt_dense_probe(nm, B, iters=100):
         mxu_frac_f32=round(flops / dt / F32_HIGHEST_PEAK, 4),
         mfu=round(flops / dt / BF16_PEAK, 4),
         hbm_frac=round(bytes_ / dt / HBM_PEAK, 4),
+        matmul_us=round(dt / iters * 1e6, 2),
     )
 
 
@@ -264,14 +281,13 @@ def kkt_sparse_probe(n, m, nnz_per_row=16, iters=50):
 
         return lax.fori_loop(0, iters, body, v)
 
-    jax.block_until_ready(chain(v0))  # compile
-    reps = 5
+    _materialize(chain(v0))  # compile + hard completion barrier
+    reps = 3
     t0 = time.perf_counter()
     out = v0
     for _ in range(reps):
         out = chain(out)
-    jax.block_until_ready(out)
-    _sync()
+    _materialize(out)
     dt = (time.perf_counter() - t0) / reps
 
     nnz_p, nnz_a = P_sp.nnz, A_sp.nnz
@@ -363,7 +379,7 @@ def main():
         kkt_probes.append(kkt_dense_probe(nm=128 + 192, B=1024))
         kkt_probes.append(kkt_dense_probe(nm=1024, B=1024))
         # large sparse indirect shape (BCOO normal-equations matvec)
-        kkt_probes.append(kkt_sparse_probe(n=65536, m=98304))
+        kkt_probes.append(kkt_sparse_probe(n=16384, m=24576, iters=20))
 
     print(
         json.dumps(

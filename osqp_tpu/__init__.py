@@ -16,15 +16,19 @@ API parity target: the reference ``osqp`` package
 
 import os as _os
 
-import jax as _jax
-
 # On TPU, float32 matmuls default to bfloat16 MXU passes - a ~1e-3 relative
 # error that stalls ADMM far above solver tolerances.  A QP solver needs true
 # f32 linear algebra; opt out with OSQP_TPU_MATMUL_PRECISION=default if you
-# know what you are doing.
-_prec = _os.environ.get('OSQP_TPU_MATMUL_PRECISION', 'highest')
-if _prec != 'default':
-    _jax.config.update('jax_default_matmul_precision', _prec)
+# know what you are doing.  jax is optional: without it (e.g. wasm/pyodide)
+# the numpy backend still provides the full float64 algorithm.
+try:
+    import jax as _jax
+except ImportError:  # pragma: no cover - numpy-only environments
+    _jax = None
+if _jax is not None:
+    _prec = _os.environ.get('OSQP_TPU_MATMUL_PRECISION', 'highest')
+    if _prec != 'default':
+        _jax.config.update('jax_default_matmul_precision', _prec)
 
 from .algebra import (  # noqa: F401
     algebra_available,
