@@ -238,45 +238,55 @@ def kkt_dense_probe(nm, B, iters=1000):
     )
 
 
-def kkt_sparse_probe(n, m, nnz_per_row=16, iters=50):
+def kkt_sparse_probe(n, m, nnz_per_row=16, iters=50, fmt='bcoo', banded=False):
     """The indirect-mode KKT step in isolation: the fused normal-equations
-    matvec  M v = P v + sigma v + A' (rho * (A v))  on BCOO operators -
-    the per-CG-iteration kernel of the sparse/large-QP path - chained
-    ITERS times on-device.  The bytes model counts each stored entry once
-    (4 B data + 8 B index) per operand use plus the dense vectors."""
+    matvec  M v = P v + sigma v + A' (rho * (A v))  - the per-CG-iteration
+    kernel of the sparse/large-QP path - chained ITERS times on-device,
+    in the given SpMV format (osqp_tpu/ops/spmv.py):
+
+    - bcoo: jax BCOO (gather + scatter-add)   - the old fallback
+    - ell : padded-row, gather-only both ways
+    - dia : diagonal bands, NO gathers (banded patterns only)
+
+    ``banded=True`` draws P/A as band matrices with ~nnz_per_row diagonals
+    (the MPC-cascade / finite-difference structure the huge-QP path
+    targets); otherwise entries are scattered uniformly.  The bytes model
+    counts each STORED entry (including format padding) once per operand
+    use (data + any index bytes) plus the dense vectors."""
     import jax
     import jax.numpy as jnp
     import scipy.sparse as sp
     from jax import lax
-    from jax.experimental import sparse as jsparse
+
+    from osqp_tpu.ops import spmv
 
     rng = np.random.default_rng(5)
-    dens_p = nnz_per_row / n
-    dens_a = nnz_per_row / n
-    P_sp = sp.random(n, n, density=dens_p, random_state=rng, format='coo')
-    P_sp = (P_sp + P_sp.T).tocoo()
-    A_sp = sp.random(m, n, density=dens_a, random_state=rng, format='coo')
+    if banded:
+        def band(rows, cols, n_diags, seed):
+            r2 = np.random.default_rng(seed)
+            offs = np.unique(np.concatenate([[0], r2.integers(-rows // 2, cols // 2, n_diags - 1)]))
+            diags = [r2.standard_normal(max(1, min(rows, cols - o) - max(0, -o))) for o in offs]
+            return sp.diags(diags, offs, shape=(rows, cols)).tocsc()
 
-    def to_bcoo(S, shape):
-        return jsparse.BCOO(
-            (jnp.asarray(S.data, jnp.float32),
-             jnp.asarray(np.stack([S.row, S.col], 1), jnp.int32)),
-            shape=shape,
-        )
+        P_sp = band(n, n, nnz_per_row, 7)
+        P_sp = (P_sp + P_sp.T).tocsc()
+        A_sp = band(m, n, nnz_per_row, 8)
+    else:
+        dens = nnz_per_row / n
+        P_sp = sp.random(n, n, density=dens, random_state=rng, format='csc')
+        P_sp = (P_sp + P_sp.T).tocsc()
+        A_sp = sp.random(m, n, density=dens, random_state=rng, format='csc')
 
-    P_b = to_bcoo(P_sp, (n, n))
-    A_b = to_bcoo(A_sp, (m, n))
-    At_b = to_bcoo(
-        type('T', (), {'data': A_sp.data, 'row': A_sp.col, 'col': A_sp.row})(),
-        (n, m),
-    )
+    P_op = spmv.from_scipy(P_sp, jnp.float32, fmt)
+    A_op = spmv.from_scipy(A_sp, jnp.float32, fmt)
+    At_op = A_op.T
     rho = jnp.full((m,), 0.1, jnp.float32)
     v0 = jnp.asarray(rng.standard_normal(n), jnp.float32)
 
     @jax.jit
     def chain(v):
         def body(_, v):
-            Mv = P_b @ v + 1e-6 * v + At_b @ (rho * (A_b @ v))
+            Mv = P_op @ v + 1e-6 * v + At_op @ (rho * (A_op @ v))
             return Mv / jnp.maximum(jnp.max(jnp.abs(Mv)), 1e-30)
 
         return lax.fori_loop(0, iters, body, v)
@@ -291,10 +301,22 @@ def kkt_sparse_probe(n, m, nnz_per_row=16, iters=50):
     dt = (time.perf_counter() - t0) / reps
 
     nnz_p, nnz_a = P_sp.nnz, A_sp.nnz
+
+    def stored_bytes(op, uses):
+        if isinstance(op, spmv.DiaMatrix):
+            return 4.0 * op.bands.size * uses          # bands only, no indices
+        if isinstance(op, spmv.EllMatrix):
+            return 8.0 * op.data.size * uses           # padded data + int32 cols
+        return 12.0 * op.data.size * uses              # BCOO data + (r, c) int32
+
     flops = 2.0 * (nnz_p + 2 * nnz_a) * iters
-    bytes_ = ((nnz_p + 2 * nnz_a) * 12.0 + 4.0 * (3 * n + 2 * m)) * iters
+    bytes_ = (
+        stored_bytes(P_op, 1) + stored_bytes(A_op, 1) + stored_bytes(At_op, 1)
+        + 4.0 * (3 * n + 2 * m)
+    ) * iters
     return dict(
-        kind='sparse-KKT-normal-eq-matvec', n=n, m=m,
+        kind='sparse-KKT-normal-eq-matvec', n=n, m=m, fmt=fmt,
+        pattern='banded' if banded else 'scattered',
         nnz=int(nnz_p + nnz_a),
         gflops=round(flops / dt / 1e9, 2),
         gbytes_per_s=round(bytes_ / dt / 1e9, 2),
@@ -378,8 +400,13 @@ def main():
         kkt_probes.append(kkt_dense_probe(nm=32 + 48, B=4096))
         kkt_probes.append(kkt_dense_probe(nm=128 + 192, B=1024))
         kkt_probes.append(kkt_dense_probe(nm=1024, B=1024))
-        # large sparse indirect shape (BCOO normal-equations matvec)
-        kkt_probes.append(kkt_sparse_probe(n=16384, m=24576, iters=20))
+        # large sparse indirect shape: normal-equations matvec per format
+        # (bcoo fallback vs the gather-only ELL and gather-free DIA paths)
+        kkt_probes.append(kkt_sparse_probe(n=16384, m=24576, iters=20, fmt='bcoo'))
+        kkt_probes.append(kkt_sparse_probe(n=16384, m=24576, iters=20, fmt='ell'))
+        kkt_probes.append(
+            kkt_sparse_probe(n=16384, m=24576, iters=20, fmt='dia', banded=True)
+        )
 
     print(
         json.dumps(

@@ -107,14 +107,14 @@ class _DeviceScope:
 
 
 def _qp_data_astype(data: 'core.QPData', dtype) -> 'core.QPData':
-    """Cast QPData values to dtype, preserving BCOO structure (indices
-    untouched)."""
+    """Cast QPData values to dtype, preserving sparse structure (BCOO
+    indices / ELL columns / DIA offsets untouched)."""
     from jax.experimental import sparse as jsparse
 
     def c(M):
         if isinstance(M, jsparse.BCOO):
             return jsparse.BCOO((M.data.astype(dtype), M.indices), shape=M.shape)
-        return M.astype(dtype)
+        return M.astype(dtype)  # dense, or DIA/ELL (their astype keeps indices)
 
     return core.QPData(
         P=c(data.P), q=data.q.astype(dtype), A=c(data.A),
@@ -254,8 +254,7 @@ class Solver:
                 # dense factorization of a huge QP is not available; the
                 # sparse path is CG-only
                 self._stg.linsys_solver = int(LinsysSolverType.OSQP_INDIRECT_SOLVER)
-            from jax.experimental import sparse as jsparse
-
+            from ..ops import spmv
             from ..utils.scaling_host import ruiz_scale_scipy
 
             if int(self._stg.scaling) > 0:
@@ -266,17 +265,15 @@ class Solver:
                 P_s, A_s, q_s, l_s, u_s = P_full, A, q, l, u
                 D, E, c = np.ones(n), np.ones(m), 1.0
 
-            def to_bcoo(S):
-                S = S.tocoo()
-                return jsparse.BCOO(
-                    (jnp.asarray(S.data, dt), jnp.asarray(np.stack([S.row, S.col], 1))),
-                    shape=S.shape,
-                )
-
+            # Pick the TPU SpMV format per matrix from the host-side pattern
+            # (DIA for banded, ELL for even row occupancy, BCOO fallback) and
+            # pin it so value updates rebuild the SAME pytree structure.
+            self._sparse_fmt_P = spmv.choose_format(P_s)
+            self._sparse_fmt_A = spmv.choose_format(A_s)
             self._data = core.QPData(
-                P=to_bcoo(P_s),
+                P=spmv.from_scipy(P_s, dt, self._sparse_fmt_P),
                 q=jnp.asarray(q_s, dt),
-                A=to_bcoo(A_s),
+                A=spmv.from_scipy(A_s, dt, self._sparse_fmt_A),
                 l=jnp.asarray(l_s, dt),
                 u=jnp.asarray(u_s, dt),
             )
@@ -609,14 +606,15 @@ class Solver:
     def update_data_mat(self, P_x=None, P_i=None, A_x=None, A_i=None):
         t0 = self._begin_update()
         dt = self._dtype
-        def _to_bcoo(S):
-            from jax.experimental import sparse as jsparse
 
-            S = S.tocoo()
-            return jsparse.BCOO(
-                (jnp.asarray(S.data, dt), jnp.asarray(np.stack([S.row, S.col], 1))),
-                shape=S.shape,
-            )
+        def _scale_csc(S, rowscale, colscale, mult=1.0):
+            """rowscale[i]*S[i,j]*colscale[j]*mult, preserving the exact nnz
+            pattern (scipy's diags@S@diags would prune explicit zeros and
+            change the operator's pytree structure across updates)."""
+            S = S.tocsc(copy=True)
+            cols = np.repeat(np.arange(S.shape[1]), np.diff(S.indptr))
+            S.data = S.data * rowscale[S.indices] * colscale[cols] * mult
+            return S
 
         if P_x is not None:
             P_triu = self._P_triu_pattern.copy()
@@ -634,8 +632,12 @@ class Solver:
             D = np.asarray(self._scal.D, np.float64)
             c = float(self._scal.c)
             if self._is_sparse:
-                P_scaled_sp = sp.diags(D) @ P_full @ sp.diags(D) * c
-                self._data = self._data._replace(P=_to_bcoo(P_scaled_sp))
+                from ..ops import spmv
+
+                P_scaled_sp = _scale_csc(P_full, D, D, c)
+                self._data = self._data._replace(
+                    P=spmv.from_scipy(P_scaled_sp, dt, self._sparse_fmt_P)
+                )
             else:
                 Pj = jnp.asarray(P_full.toarray(), dt)
                 P_scaled = self._scal.c * (self._scal.D[:, None] * Pj * self._scal.D[None, :])
@@ -653,10 +655,14 @@ class Solver:
             self._A_pattern = A
             self._A_orig = A.copy()
             if self._is_sparse:
+                from ..ops import spmv
+
                 D = np.asarray(self._scal.D, np.float64)
                 E = np.asarray(self._scal.E, np.float64)
-                A_scaled_sp = sp.diags(E) @ A @ sp.diags(D)
-                self._data = self._data._replace(A=_to_bcoo(A_scaled_sp))
+                A_scaled_sp = _scale_csc(A, E, D)
+                self._data = self._data._replace(
+                    A=spmv.from_scipy(A_scaled_sp, dt, self._sparse_fmt_A)
+                )
             else:
                 Aj = jnp.asarray(A.toarray(), dt)
                 A_scaled = self._scal.E[:, None] * Aj * self._scal.D[None, :]

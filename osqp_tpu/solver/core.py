@@ -310,11 +310,17 @@ def build_M(P, A, sigma, rho_vec):
 def _is_sparse(mat):
     from jax.experimental import sparse as jsparse
 
-    return isinstance(mat, jsparse.BCOO)
+    from ..ops import spmv
+
+    return isinstance(mat, jsparse.BCOO) or spmv.is_structured(mat)
 
 
 def mat_diag(P):
-    """diagonal of a dense or BCOO square matrix."""
+    """diagonal of a dense, BCOO, or DIA/ELL square matrix."""
+    from ..ops import spmv
+
+    if spmv.is_structured(P):
+        return P.diag()
     if _is_sparse(P):
         r = P.indices[:, 0]
         c = P.indices[:, 1]
@@ -324,7 +330,11 @@ def mat_diag(P):
 
 
 def gram_diag(A, rho_vec):
-    """diag(A' diag(rho) A) for dense or BCOO A."""
+    """diag(A' diag(rho) A) for dense, BCOO, or DIA/ELL A."""
+    from ..ops import spmv
+
+    if spmv.is_structured(A):
+        return A.gram_diag(rho_vec)
     if _is_sparse(A):
         from jax.experimental import sparse as jsparse
 
