@@ -62,8 +62,13 @@ def _dia_matvec(bands, offsets, v, out_rows):
     vp = jnp.concatenate([pad, v, pad])
     if not offsets:
         return jnp.zeros((m,), v.dtype)
-    shifted = jnp.stack([jax.lax.slice(vp, (m + o,), (2 * m + o,)) for o in offsets])
-    return jnp.sum(bands * shifted, axis=0)
+    # Unrolled multiply-accumulate (rather than stack+sum, which would
+    # materialize a (D, m) intermediate and double the HBM traffic) — XLA
+    # fuses the D slices+FMAs into one streaming pass.
+    acc = bands[0] * jax.lax.slice(vp, (m + offsets[0],), (2 * m + offsets[0],))
+    for d, o in enumerate(offsets[1:], start=1):
+        acc = acc + bands[d] * jax.lax.slice(vp, (m + o,), (2 * m + o,))
+    return acc
 
 
 class DiaMatrix:
@@ -132,11 +137,11 @@ class DiaMatrix:
 def _dia_arrays(S, dtype):
     C = S.tocoo()
     m, n = C.shape
-    offs = np.unique(C.col - C.row) if C.nnz else np.zeros((0,), np.int64)
-    idx = {int(o): d for d, o in enumerate(offs)}
+    off = C.col.astype(np.int64) - C.row.astype(np.int64)
+    offs = np.unique(off) if C.nnz else np.zeros((0,), np.int64)
     bands = np.zeros((len(offs), m), dtype=dtype)
-    for r, c, v in zip(C.row, C.col, C.data):
-        bands[idx[int(c - r)], r] += v
+    if C.nnz:
+        np.add.at(bands, (np.searchsorted(offs, off), C.row), C.data)
     return bands, tuple(int(o) for o in offs)
 
 
@@ -220,10 +225,11 @@ def _ell_arrays(S, dtype):
     K = max(int(counts.max()) if m and counts.size else 0, 1)
     data = np.zeros((m, K), dtype=dtype)
     cols = np.zeros((m, K), dtype=np.int32)
-    for i in range(m):
-        s, e = R.indptr[i], R.indptr[i + 1]
-        data[i, : e - s] = R.data[s:e]
-        cols[i, : e - s] = R.indices[s:e]
+    if R.nnz:
+        rows = np.repeat(np.arange(m), counts)
+        pos = np.arange(R.nnz) - np.repeat(R.indptr[:-1], counts)
+        data[rows, pos] = R.data
+        cols[rows, pos] = R.indices
     return data, cols
 
 
