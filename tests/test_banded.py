@@ -1,0 +1,175 @@
+"""Halo-exchange banded huge-QP mode (osqp_tpu/parallel/banded.py) on a
+virtual 8-device CPU mesh.
+
+Everything is sharded (x included); per-matvec communication is W-wide
+neighbor ppermutes only.  These tests pin: solution parity with the float64
+oracle, m != n padding, warm start, distributed polish, and the primal
+infeasibility certificate — same contracts as the bigqp tests
+(the reference has no distributed runtime to mirror; SURVEY.md section 4).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sparse
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from osqp_tpu._oracle.solver import ReferenceSolver
+from osqp_tpu.constants import SolverStatus
+from osqp_tpu.parallel.banded import banded_qp_setup, banded_qp_solve
+
+
+def _mesh(J):
+    devs = jax.devices('cpu')
+    if len(devs) < J:
+        pytest.skip(f'need {J} cpu devices, have {len(devs)}')
+    return Mesh(np.array(devs[:J]).reshape(J), ('mp',))
+
+
+def _banded_qp(n, seed=0, m_eq_n=True):
+    """Tridiagonal P; banded A (I + two off-diagonals).  If not m_eq_n,
+    A is the (n-1) x n first-difference matrix plus a diagonal band."""
+    rng = np.random.default_rng(seed)
+    P = sparse.diags(
+        [np.full(n, 2.0), np.full(n - 1, -0.7), np.full(n - 1, -0.7)], [0, 1, -1]
+    ).tocsc()
+    q = rng.standard_normal(n)
+    if m_eq_n:
+        A = (sparse.eye(n)
+             + sparse.diags([np.full(n - 2, 0.4)], [2], shape=(n, n))
+             + sparse.diags([np.full(n - 1, -0.3)], [-1], shape=(n, n))).tocsc()
+        m = n
+    else:
+        m = n - 1
+        A = (sparse.diags([np.full(m, -1.0)], [0], shape=(m, n))
+             + sparse.diags([np.full(m, 1.0)], [1], shape=(m, n))).tocsc()
+    x0 = rng.standard_normal(n)
+    s0 = rng.random(m) + 0.1
+    u = A @ x0 + s0
+    l = u - 2 * s0
+    # a few equalities and loose rows to exercise rho typing
+    l[:3] = u[:3]
+    l[3:5] = -1e30
+    return P, q, A.tocsc(), l, u
+
+
+def _oracle(P, q, A, l, u, **kw):
+    ref = ReferenceSolver()
+    ref.setup(P, q, A, l, u, verbose=False, **kw)
+    sol, _ = ref.solve()
+    return sol
+
+
+@pytest.mark.parametrize('m_eq_n', [True, False])
+def test_banded_solve_matches_oracle(m_eq_n):
+    J = 8
+    mesh = _mesh(J)
+    n = 192
+    P, q, A, l, u = _banded_qp(n, seed=3, m_eq_n=m_eq_n)
+    data = banded_qp_setup(P, q, A, l, u, J, dtype=jnp.float64)
+    res = banded_qp_solve(mesh, data, eps_abs=1e-6, eps_rel=1e-6,
+                          max_iter=20000, cg_tol=1e-12)
+    assert int(res.status) == 1, int(res.status)
+    sol = _oracle(P, q, A, l, u, eps_abs=1e-9, eps_rel=1e-9, max_iter=100000)
+    np.testing.assert_allclose(np.asarray(res.x), sol.x, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.y), sol.y, rtol=1e-3, atol=1e-3)
+
+
+def test_banded_matches_bigqp_iterations():
+    """Same math as bigqp: identical iteration counts on the same problem —
+    the halo exchange only changes where values live."""
+    from osqp_tpu.parallel.bigqp import big_qp_setup, big_qp_solve
+
+    J = 8
+    mesh = _mesh(J)
+    n = 128
+    P, q, A, l, u = _banded_qp(n, seed=5)
+    kw = dict(eps_abs=1e-6, eps_rel=1e-6, max_iter=20000, cg_tol=1e-12)
+    res_b = banded_qp_solve(
+        mesh, banded_qp_setup(P, q, A, l, u, J, dtype=jnp.float64), **kw
+    )
+    res_g = big_qp_solve(
+        mesh, big_qp_setup(P, q, A, l, u, J, dtype=jnp.float64), **kw
+    )
+    assert int(res_b.status) == int(res_g.status) == 1
+    assert int(res_b.iters) == int(res_g.iters)
+    np.testing.assert_allclose(np.asarray(res_b.x), np.asarray(res_g.x),
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_banded_warm_start():
+    J = 8
+    mesh = _mesh(J)
+    n = 128
+    P, q, A, l, u = _banded_qp(n, seed=7)
+    data = banded_qp_setup(P, q, A, l, u, J, dtype=jnp.float64)
+    res = banded_qp_solve(mesh, data, eps_abs=1e-6, eps_rel=1e-6, max_iter=20000)
+    assert int(res.status) == 1
+    cold_iters = int(res.iters)
+
+    x_scaled = np.asarray(res.x) / np.asarray(data.D.reshape(-1)[:n])
+    y_scaled = (np.asarray(res.y) * float(data.c)
+                / np.maximum(np.asarray(data.E.reshape(-1)[:A.shape[0]]), 1e-30))
+    res2 = banded_qp_solve(mesh, data, eps_abs=1e-6, eps_rel=1e-6,
+                           max_iter=20000, x0=x_scaled,
+                           z0=np.asarray(res.z), y0=y_scaled)
+    assert int(res2.status) == 1
+    assert int(res2.iters) <= 25 < cold_iters
+
+
+def test_banded_polish():
+    J = 8
+    mesh = _mesh(J)
+    n = 160
+    P, q, A, l, u = _banded_qp(n, seed=9)
+    data = banded_qp_setup(P, q, A, l, u, J, dtype=jnp.float64)
+    res = banded_qp_solve(mesh, data, eps_abs=1e-3, eps_rel=1e-3,
+                          check_every=5, max_iter=20000, polish=True,
+                          cg_tol=1e-12)
+    assert int(res.status) == 1
+    assert int(res.status_polish) == 1, int(res.status_polish)
+    sol = _oracle(P, q, A, l, u, eps_abs=1e-10, eps_rel=1e-10,
+                  max_iter=200000, polishing=True)
+    np.testing.assert_allclose(np.asarray(res.x), sol.x, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.y), sol.y, rtol=1e-4, atol=1e-5)
+
+
+def test_banded_primal_infeasible_certificate():
+    """A banded QP with an unsatisfiable equality (zero row, l=u=5) must be
+    detected with a valid unscaled Farkas certificate."""
+    J = 8
+    mesh = _mesh(J)
+    n = 96
+    P, q, A, l, u = _banded_qp(n, seed=11)
+    A = A.tolil()
+    A[n // 2, :] = 0.0
+    A = A.tocsc()
+    l[n // 2] = 5.0
+    u[n // 2] = 5.0
+    data = banded_qp_setup(P, q, A, l, u, J, dtype=jnp.float64)
+    res = banded_qp_solve(mesh, data, eps_abs=1e-6, eps_rel=1e-6, max_iter=20000)
+    assert int(res.status) in (
+        int(SolverStatus.OSQP_PRIMAL_INFEASIBLE),
+        int(SolverStatus.OSQP_PRIMAL_INFEASIBLE_INACCURATE),
+    ), int(res.status)
+    assert np.isnan(np.asarray(res.x)).all()
+    dy = np.asarray(res.prim_inf_cert)
+    norm_dy = np.abs(dy).max()
+    assert norm_dy > 0
+    lhs = (np.minimum(u, 1e30) @ np.maximum(dy, 0)
+           + np.maximum(l, -1e30) @ np.minimum(dy, 0))
+    assert lhs < 0
+    assert np.abs(A.T @ dy).max() < 1e-3 * norm_dy
+
+
+def test_banded_bandwidth_guard():
+    """Bandwidth wider than the shard height must be rejected loudly."""
+    n = 64
+    P = sparse.eye(n, format='csc')
+    q = np.zeros(n)
+    A = (sparse.eye(n) + sparse.diags([np.ones(n - 40)], [40], shape=(n, n))).tocsc()
+    l, u = -np.ones(n), np.ones(n)
+    with pytest.raises(ValueError, match='bandwidth'):
+        banded_qp_setup(P, q, A, l, u, 8)
