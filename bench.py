@@ -407,6 +407,11 @@ def main():
         kkt_probes.append(
             kkt_sparse_probe(n=16384, m=24576, iters=20, fmt='dia', banded=True)
         )
+        # Larger DIA shapes (n=65k-262k, up to 161 GB/s) are documented in
+        # benchmarks/RESULTS.md but excluded here: their remote compiles are
+        # erratically slow (50 s - 11 min observed) and would blow the bench
+        # budget.  Reproduce with kkt_sparse_probe(n=262144, m=393216,
+        # fmt='dia', banded=True).
 
     print(
         json.dumps(
