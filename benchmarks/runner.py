@@ -22,6 +22,16 @@ Problem sources:
 
 Run:  python benchmarks/runner.py [--sizes small|medium|large]
       [--algebra jax] [--comparator oracle|purepy|both] [--maros-dir DIR]
+
+Interpreting iteration parity: 100% is not attainable across independent
+implementations — the adaptive-rho trigger is a knife edge.  E.g. on
+``mixed-100x150`` the oracle (sparse-LDL KKT) and the jax core (dense-Schur
+Cholesky) accumulate ~1e-4 of FP-path iterate divergence by iteration 100,
+which moves the ill-conditioned normalized-residual ratio across the 5x
+trigger in one but not the other (estimates 0.56 vs 0.36 around the 0.50
+threshold), costing 75 extra iterations.  Both solvers implement the same
+formula (ref _osqp.py:880-908); statuses and objectives still agree.  The
+suite reports the honest fraction rather than excluding such rows.
 """
 
 from __future__ import annotations
@@ -98,6 +108,20 @@ def problem_family(kind, n, m, seed):
     elif kind == 'loose':
         u = np.full(m, np.inf)
         l = A @ x0 - s0
+    elif kind == 'banded':
+        # MPC-cascade structure: tridiagonal P, banded square A — exercises
+        # the DIA SpMV path (ops/spmv.py) in the parity loop
+        P = sparse.diags(
+            [np.full(n, 2.0), np.full(n - 1, -0.7), np.full(n - 1, -0.7)],
+            [0, 1, -1],
+        ).tocsc()
+        A = (sparse.eye(n)
+             + sparse.diags([np.full(n - 2, 0.4)], [2], shape=(n, n))
+             + sparse.diags([np.full(n - 1, -0.3)], [-1], shape=(n, n))).tocsc()
+        x0 = x0[:n]
+        s0 = rng.random(n) + 0.05
+        u = A @ x0 + s0
+        l = u - 2 * s0
     else:
         raise ValueError(kind)
     return P, q, A, l, u
@@ -144,17 +168,22 @@ SIZES = {
     'medium': [(200, 300), (500, 750)],
     'large': [(1000, 1500), (2000, 3000)],
 }
-KINDS = ['ineq', 'eq', 'mixed', 'lp', 'loose']
+KINDS = ['ineq', 'eq', 'mixed', 'lp', 'loose', 'banded']
 
 
 def _iter_problems(args):
     if args.maros_dir:
         yield from load_maros_dir(args.maros_dir)
         return
+    import zlib
+
     for size_class in args.sizes.split(','):
         for (n, m) in SIZES[size_class]:
             for kind in KINDS:
-                P, q, A, l, u = problem_family(kind, n, m, seed=hash((kind, n)) % 2**31)
+                # deterministic seed (builtin hash() is salted per process,
+                # which made the suite non-reproducible run to run)
+                seed = zlib.crc32(f'{kind}-{n}'.encode()) % 2**31
+                P, q, A, l, u = problem_family(kind, n, m, seed=seed)
                 yield f'{kind}-{n}x{m}', P, q, A, l, u
 
 
@@ -169,6 +198,13 @@ def main():
     ap.add_argument('--maros-dir', default=os.environ.get('OSQP_TPU_MAROS_DIR'))
     args = ap.parse_args()
 
+    # Parity is judged against float64 comparators (the reference's builtin
+    # backend and purepy are both f64), so run the jax algebra at f64 too;
+    # f32 parity is covered separately by the TPU test ladder.
+    import jax
+
+    jax.config.update('jax_enable_x64', True)
+
     import osqp_tpu as osqp
 
     purepy = load_purepy() if args.comparator in ('purepy', 'both') else None
@@ -181,6 +217,12 @@ def main():
         eps_rel=args.eps,
         max_iter=20000,
         polishing=False,
+        # pin the adaptive-rho cadence: at interval=0 (automatic) the f64
+        # oracle uses the C core's TIME-BASED first trigger (it has real
+        # timers) while the jitted core uses the fixed no-profiling
+        # fallback — the same divergence a profiling vs non-profiling C
+        # build shows.  Parity is only well-defined at a pinned interval.
+        adaptive_rho_interval=100,
     )
     # purepy comparability settings (see module docstring)
     purepy_match = dict(check_termination=1, check_dualgap=False,
