@@ -124,6 +124,25 @@ def test_sparse_mode_solve_matches_dense(fmt, monkeypatch):
     np.testing.assert_allclose(r_sparse.y, r_dense.y, rtol=1e-4, atol=1e-4)
 
 
+def test_sparse_mode_auto_picks_dia_for_banded(monkeypatch):
+    """The format chooser must route banded public-API problems to DIA
+    without any env forcing, and an LP's empty P must be handled (zero
+    bands)."""
+    monkeypatch.delenv('OSQP_TPU_SPARSE_FORMAT', raising=False)
+    P, q, A, l, u = _mpc_like_qp(seed=8)
+    s = osqp_tpu.OSQP(algebra='jax', sparse=True)
+    s.setup(P=P, q=q, A=A, l=l, u=u, verbose=False)
+    assert s._solver._sparse_fmt_P == 'dia'
+    assert s._solver._sparse_fmt_A == 'dia'
+    assert s.solve().info.status == 'solved'
+    # LP: P has zero nnz -> trivially-empty DIA operator
+    n = A.shape[1]
+    s2 = osqp_tpu.OSQP(algebra='jax', sparse=True)
+    s2.setup(P=sp.csc_matrix((n, n)), q=np.abs(q), A=A, l=l, u=u, verbose=False)
+    r2 = s2.solve()
+    assert r2.info.status in ('solved', 'solved inaccurate')
+
+
 @pytest.mark.parametrize('fmt', ['dia', 'ell'])
 def test_sparse_mode_update_vectors_and_mats(fmt, monkeypatch):
     monkeypatch.setenv('OSQP_TPU_SPARSE_FORMAT', fmt)
