@@ -33,11 +33,17 @@ def _slow_qp(n=40, m=60, seed=4):
 
 
 def _setup(time_limit, **extra):
+    from utils import solve_eps
+
     P, q, A, l, u = _slow_qp()
     m = osqp.OSQP(algebra='jax')
+    # f32 chip rows: 1e-9 is unreachable; 1e-6 still needs well over one
+    # 50-iteration chunk (the interrupt point) but lets the post-interrupt
+    # continuation finish SOLVED/INACCURATE
+    eps = solve_eps(1e-9, f32=1e-6)
     m.setup(
         P=P, q=q, A=A, l=l, u=u, verbose=False,
-        eps_abs=1e-9, eps_rel=1e-9, check_termination=5,
+        eps_abs=eps, eps_rel=eps, check_termination=5,
         time_limit=time_limit, **extra,
     )
     return m

@@ -81,20 +81,27 @@ def test_polish_rejected_linesearch(self):
     n, m = P.shape[0], A.shape[0]
     assert ls.X.shape == (1000, n) and ls.Z.shape == (1000, m) and ls.Y.shape == (1000, m)
     assert ls.t[0] == 0.0 and np.isclose(ls.t[-1], 0.002)
+    # float32 chip rows: projection/unscaling arithmetic carries the f32
+    # noise floor; the CONTRACT (box membership, complementary slackness)
+    # is the same, the margins are precision-class margins
+    from utils import f32_device
+
+    margin = 1e-4 if f32_device() else 1e-9
+    eq_r, eq_a = (1e-4, 1e-5) if f32_device() else (1e-6, 1e-8)
     # t=0 is the (unscaled) ADMM solution the solver returned
-    nptest.assert_allclose(ls.X[0], res.x, rtol=1e-6, atol=1e-8)
-    nptest.assert_allclose(ls.Y[0], res.y, rtol=1e-6, atol=1e-8)
+    nptest.assert_allclose(ls.X[0], res.x, rtol=eq_r, atol=eq_a)
+    nptest.assert_allclose(ls.Y[0], res.y, rtol=eq_r, atol=eq_a)
     # every sample satisfies the normal-cone constraint on the ORIGINAL data:
     # z in [l, u] and y_i != 0 only at active bounds
-    assert (ls.Z >= l[None, :] - 1e-9).all() and (ls.Z <= u[None, :] + 1e-9).all()
-    interior = (ls.Z > l[None, :] + 1e-9) & (ls.Z < u[None, :] - 1e-9)
-    assert np.abs(np.where(interior, ls.Y, 0.0)).max() < 1e-9
+    assert (ls.Z >= l[None, :] - margin).all() and (ls.Z <= u[None, :] + margin).all()
+    interior = (ls.Z > l[None, :] + margin) & (ls.Z < u[None, :] - margin)
+    assert np.abs(np.where(interior, ls.Y, 0.0)).max() < margin
     # the family brackets points at least as good as the ADMM endpoint
     Pd, Ad = P.toarray(), A.toarray()
     pri = np.abs(ls.X @ Ad.T - ls.Z).max(axis=1)
     dua = np.abs(ls.X @ Pd.T + q[None, :] + ls.Y @ Ad).max(axis=1)
     worst = np.maximum(pri, dua)
-    assert worst.min() <= worst[0] + 1e-12
+    assert worst.min() <= worst[0] + max(1e-12, margin * 1e-2)
 
 
 def test_polish_accepted_has_no_linesearch(self):

@@ -15,6 +15,8 @@ import scipy.sparse as sp
 import osqp_tpu
 from osqp_tpu.ops import spmv
 
+from utils import solve_eps
+
 
 def _random_banded(m, n, offsets, seed=0):
     rng = np.random.default_rng(seed)
@@ -109,7 +111,8 @@ def _mpc_like_qp(T=14, seed=0):
 def test_sparse_mode_solve_matches_dense(fmt, monkeypatch):
     monkeypatch.setenv('OSQP_TPU_SPARSE_FORMAT', fmt)
     P, q, A, l, u = _mpc_like_qp()
-    common = dict(eps_abs=1e-7, eps_rel=1e-7, polishing=False, verbose=False)
+    eps = solve_eps(1e-7)  # f32 chip rows cannot reach 1e-7
+    common = dict(eps_abs=eps, eps_rel=eps, polishing=False, verbose=False)
 
     ref = osqp_tpu.OSQP()
     ref.setup(P=P, q=q, A=A, l=l, u=u, **common)
@@ -120,8 +123,9 @@ def test_sparse_mode_solve_matches_dense(fmt, monkeypatch):
     r_sparse = s.solve()
 
     assert r_sparse.info.status == r_dense.info.status == 'solved'
-    np.testing.assert_allclose(r_sparse.x, r_dense.x, rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(r_sparse.y, r_dense.y, rtol=1e-4, atol=1e-4)
+    rt, at = (1e-3, 1e-3) if eps > 1e-6 else (1e-4, 1e-5)
+    np.testing.assert_allclose(r_sparse.x, r_dense.x, rtol=rt, atol=at)
+    np.testing.assert_allclose(r_sparse.y, r_dense.y, rtol=rt, atol=max(at, 1e-4))
 
 
 def test_sparse_mode_auto_picks_dia_for_banded(monkeypatch):
@@ -147,19 +151,20 @@ def test_sparse_mode_auto_picks_dia_for_banded(monkeypatch):
 def test_sparse_mode_update_vectors_and_mats(fmt, monkeypatch):
     monkeypatch.setenv('OSQP_TPU_SPARSE_FORMAT', fmt)
     P, q, A, l, u = _mpc_like_qp(seed=4)
+    eps = solve_eps(1e-7)
+    rt, at = (1e-3, 1e-3) if eps > 1e-6 else (1e-4, 1e-5)
+    common = dict(eps_abs=eps, eps_rel=eps, polishing=False, verbose=False)
     s = osqp_tpu.OSQP(algebra='jax', sparse=True)
-    s.setup(P=P, q=q, A=A, l=l, u=u,
-            eps_abs=1e-7, eps_rel=1e-7, polishing=False, verbose=False)
+    s.setup(P=P, q=q, A=A, l=l, u=u, **common)
     s.solve()
     # vector update
     q2 = q + 0.25
     s.update(q=q2)
     r = s.solve()
     ref = osqp_tpu.OSQP()
-    ref.setup(P=P, q=q2, A=A, l=l, u=u,
-              eps_abs=1e-7, eps_rel=1e-7, polishing=False, verbose=False)
+    ref.setup(P=P, q=q2, A=A, l=l, u=u, **common)
     r_ref = ref.solve()
-    np.testing.assert_allclose(r.x, r_ref.x, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(r.x, r_ref.x, rtol=rt, atol=at)
     # matrix value update (same pattern)
     Ax_new = A.copy().data * 1.1
     s.update(Ax=Ax_new)
@@ -167,7 +172,6 @@ def test_sparse_mode_update_vectors_and_mats(fmt, monkeypatch):
     A2 = A.copy()
     A2.data = Ax_new
     ref2 = osqp_tpu.OSQP()
-    ref2.setup(P=P, q=q2, A=A2, l=l, u=u,
-               eps_abs=1e-7, eps_rel=1e-7, polishing=False, verbose=False)
+    ref2.setup(P=P, q=q2, A=A2, l=l, u=u, **common)
     rr2 = ref2.solve()
-    np.testing.assert_allclose(r2.x, rr2.x, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(r2.x, rr2.x, rtol=rt, atol=at)
