@@ -184,7 +184,9 @@ def _iter_problems(args):
                 # which made the suite non-reproducible run to run)
                 seed = zlib.crc32(f'{kind}-{n}'.encode()) % 2**31
                 P, q, A, l, u = problem_family(kind, n, m, seed=seed)
-                yield f'{kind}-{n}x{m}', P, q, A, l, u
+                # label with the ACTUAL constraint count (the banded family
+                # builds a square n x n A, ignoring m)
+                yield f'{kind}-{n}x{A.shape[0]}', P, q, A, l, u
 
 
 def main():

@@ -15,7 +15,21 @@ CSC pattern:
 - ``EllMatrix``: padded-row (ELLPACK) storage.  ``A @ v`` gathers
   ``v[cols]`` once and reduces — gather-only, no scatter.  Both orientations
   are stored so ``A.T @ y`` is also gather-only.
-- jax BCOO remains the fallback for genuinely unstructured patterns.
+- ``BsrMatrix``: block-ELL storage with dense TPU-tile-shaped blocks
+  (default 8x128).  ``A @ v`` row-gathers one 512-byte segment of ``v`` per
+  BLOCK (one memory transaction amortized over up to 1024 stored entries,
+  vs one per entry for BCOO/ELL) and streams the dense blocks through a
+  fused multiply-reduce.  Optimal for CLUSTERED patterns (coupled
+  sub-systems, multi-stage couplings, arrowheads) where block occupancy is
+  dense enough that padding stays bounded.
+- ``'dense'``: for moderately-sized genuinely-unstructured patterns the
+  fastest TPU "sparse" matvec is no sparse format at all: materialize the
+  scaled matrix densely and stream it at HBM speed-of-light.  Random
+  element gathers are transaction-bound at ~1/100th of peak bandwidth on
+  TPU (measured: BCOO 0.83 GB/s vs 819 GB/s peak, benchmarks/RESULTS.md),
+  so up to the HBM budget (``OSQP_TPU_DENSE_SPMV_BYTES``, default 2 GB per
+  matrix) dense streaming wins by ~2 orders of magnitude.
+- jax BCOO remains the fallback for huge genuinely-unstructured patterns.
 
 Both classes are registered pytrees (safe to close over or pass through
 ``jax.jit``), expose ``shape``/``dtype``/``T``/``@``/``astype`` like the
@@ -38,8 +52,10 @@ import numpy as np
 __all__ = [
     'DiaMatrix',
     'EllMatrix',
+    'BsrMatrix',
     'dia_from_scipy',
     'ell_from_scipy',
+    'bsr_from_scipy',
     'from_scipy',
     'choose_format',
     'is_structured',
@@ -51,17 +67,35 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
+# Above this many diagonals the unrolled slice+FMA graph is rolled into a
+# lax.scan (one compiled body) to keep XLA compile time O(1) in the band
+# count; below it, full unrolling lets XLA fuse everything into one pass.
+_DIA_UNROLL_MAX = 64
+
+
 def _dia_matvec(bands, offsets, v, out_rows):
     """sum_d bands[d] * v[i + offsets[d]] with zero padding outside [0, len(v)).
 
     ``offsets`` is a static tuple, so every slice below is static — XLA fuses
-    the whole thing into one streaming FMA kernel (no gather).
+    the whole thing into one streaming FMA kernel (no gather).  For very
+    many diagonals the loop is rolled into a ``lax.scan`` over the band
+    stack (dynamic_slice with a traced offset) so the emitted graph — and
+    the compile time — stays constant-size.
     """
     m = out_rows
     pad = jnp.zeros((m,), v.dtype)
     vp = jnp.concatenate([pad, v, pad])
     if not offsets:
         return jnp.zeros((m,), v.dtype)
+    if len(offsets) > _DIA_UNROLL_MAX:
+        starts = jnp.asarray(offsets, jnp.int32) + m
+
+        def body(acc, band_start):
+            band, start = band_start
+            return acc + band * jax.lax.dynamic_slice(vp, (start,), (m,)), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((m,), v.dtype), (bands, starts))
+        return acc
     # Unrolled multiply-accumulate (rather than stack+sum, which would
     # materialize a (D, m) intermediate and double the HBM traffic) — XLA
     # fuses the D slices+FMAs into one streaming pass.
@@ -250,6 +284,144 @@ jax.tree_util.register_pytree_node(
 
 
 # ---------------------------------------------------------------------------
+# BSR (block-ELL)
+# ---------------------------------------------------------------------------
+
+# TPU-native block shape: one float32 VMEM tile is (8 sublanes, 128 lanes).
+_BSR_R, _BSR_C = 8, 128
+
+
+def _bsr_matvec(blocks, bcols, v, out_rows, n_cols):
+    """Block-ELL matvec: one 128-wide ROW-GATHER of v per block, then a
+    fused streaming multiply-reduce over the dense blocks.
+
+    blocks: (nbr, Kb, R, C), bcols: (nbr, Kb) int32 (block-column ids,
+    padding blocks are all-zero and point at block-column 0 — a no-op).
+    Returns the unpadded (out_rows,) result.
+    """
+    nbr, Kb, R, C = blocks.shape
+    nbc = -(-n_cols // C)
+    vp = jnp.zeros((nbc * C,), v.dtype).at[:n_cols].set(v)
+    vb = vp.reshape(nbc, C)
+    vg = jnp.take(vb, bcols.reshape(-1), axis=0).reshape(nbr, Kb, C)
+    out = jnp.einsum('bkrc,bkc->br', blocks, vg)
+    return out.reshape(-1)[:out_rows]
+
+
+class BsrMatrix:
+    """Block-ELL sparse matrix (shape (m, n)) with dense (R, C) blocks.
+
+    ``blocks[i, k]`` is the k-th non-zero (R, C) block of block-row i and
+    ``bcols[i, k]`` its block-column; block-rows with fewer blocks are
+    padded with zero blocks at block-column 0.  Transpose blocks are stored
+    so ``S.T @ y`` follows the same gather-one-segment-per-block pattern.
+    The main diagonal is precomputed host-side (``dvec``) because extracting
+    it from block storage on device would itself be a gather.
+    """
+
+    def __init__(self, blocks, bcols, blocks_t, bcols_t, dvec, shape):
+        self.blocks = blocks      # (nbr, Kb, R, C)
+        self.bcols = bcols        # (nbr, Kb) int32
+        self.blocks_t = blocks_t  # (nbc', Kt, R, C) for S.T
+        self.bcols_t = bcols_t
+        self.dvec = dvec          # (min(m, n),) main diagonal
+        self.shape = tuple(shape)
+
+    @property
+    def dtype(self):
+        return self.blocks.dtype
+
+    @property
+    def T(self):
+        return BsrMatrix(
+            self.blocks_t, self.bcols_t, self.blocks, self.bcols,
+            self.dvec, (self.shape[1], self.shape[0]),
+        )
+
+    def astype(self, dtype):
+        return BsrMatrix(
+            self.blocks.astype(dtype), self.bcols,
+            self.blocks_t.astype(dtype), self.bcols_t,
+            self.dvec.astype(dtype), self.shape,
+        )
+
+    def __matmul__(self, v):
+        if getattr(v, 'ndim', 1) != 1:
+            raise TypeError('BsrMatrix only supports matrix-vector products')
+        return _bsr_matvec(self.blocks, self.bcols, v, self.shape[0], self.shape[1])
+
+    def diag(self):
+        m = self.shape[0]
+        d = self.dvec
+        if d.shape[0] < m:
+            d = jnp.zeros((m,), self.dtype).at[: d.shape[0]].set(d)
+        return d
+
+    def gram_diag(self, rho):
+        """diag(S' diag(rho) S) = (S.^2)' @ rho via the squared transpose
+        blocks (same streaming pattern; runs only on rho updates)."""
+        return _bsr_matvec(
+            self.blocks_t * self.blocks_t, self.bcols_t, rho,
+            self.shape[1], self.shape[0],
+        )
+
+    def todense(self):
+        nbr, Kb, R, C = self.blocks.shape
+        m, n = self.shape
+        nbc = -(-n // C)
+        out = jnp.zeros((nbr, nbc, R, C), self.dtype)
+        rows = jnp.broadcast_to(jnp.arange(nbr)[:, None], self.bcols.shape)
+        out = out.at[rows, self.bcols].add(self.blocks)
+        return out.transpose(0, 2, 1, 3).reshape(nbr * R, nbc * C)[:m, :n]
+
+
+def _bsr_arrays(S, dtype, R=_BSR_R, C=_BSR_C):
+    """Host-side block-ELL packing of a scipy sparse matrix."""
+    Coo = S.tocoo()
+    Coo.sum_duplicates()
+    m, n = Coo.shape
+    nbr, nbc = -(-m // R), -(-n // C)
+    if Coo.nnz == 0:
+        return (np.zeros((nbr, 1, R, C), dtype), np.zeros((nbr, 1), np.int32))
+    br = Coo.row // R
+    bc = Coo.col // C
+    bid = br.astype(np.int64) * nbc + bc
+    uniq, inv = np.unique(bid, return_inverse=True)
+    ubr, ubc = uniq // nbc, uniq % nbc
+    counts = np.bincount(ubr, minlength=nbr)
+    Kb = max(int(counts.max()), 1)
+    # slot index of each unique block within its block-row
+    starts = np.zeros(nbr + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(uniq.size) - starts[ubr]
+    blocks = np.zeros((nbr, Kb, R, C), dtype)
+    bcols = np.zeros((nbr, Kb), np.int32)
+    bcols[ubr, slot] = ubc
+    blocks[ubr[inv], slot[inv], Coo.row % R, Coo.col % C] = Coo.data
+    return blocks, bcols
+
+
+def bsr_from_scipy(S, dtype=np.float32, R=_BSR_R, C=_BSR_C):
+    """Build a BsrMatrix (plus transpose blocks) from any scipy sparse."""
+    blocks, bcols = _bsr_arrays(S, dtype, R, C)
+    blocks_t, bcols_t = _bsr_arrays(S.T, dtype, R, C)
+    k = min(S.shape)
+    dvec = np.asarray(S.tocsr().diagonal()[:k], dtype)
+    return BsrMatrix(
+        jnp.asarray(blocks), jnp.asarray(bcols),
+        jnp.asarray(blocks_t), jnp.asarray(bcols_t),
+        jnp.asarray(dvec), S.shape,
+    )
+
+
+jax.tree_util.register_pytree_node(
+    BsrMatrix,
+    lambda s: ((s.blocks, s.bcols, s.blocks_t, s.bcols_t, s.dvec), (s.shape,)),
+    lambda aux, ch: BsrMatrix(*ch, aux[0]),
+)
+
+
+# ---------------------------------------------------------------------------
 # Format selection
 # ---------------------------------------------------------------------------
 
@@ -257,12 +429,23 @@ jax.tree_util.register_pytree_node(
 # rejected (both DIA bands and ELL pads burn HBM bandwidth on stored zeros).
 _WASTE_LIMIT = 5.0
 _DIA_MAX_BANDS = 1024
+# BSR blocks STREAM (one 512-byte transaction per block vs one per element
+# for BCOO/ELL — a ~100x per-byte speed gap measured on chip), so a much
+# larger padding multiple still wins; beyond it dense streaming or BCOO is
+# cheaper.
+_BSR_WASTE_LIMIT = 24.0
+
+
+def _dense_budget_bytes():
+    """HBM budget per matrix for the dense-streaming fallback (the honest
+    fast path for genuinely-unstructured patterns on TPU)."""
+    return int(os.environ.get('OSQP_TPU_DENSE_SPMV_BYTES', 2_000_000_000))
 
 
 def _dia_cost(S):
     C = S.tocoo()
     if C.nnz == 0:
-        return np.inf
+        return np.inf, 0
     n_diags = np.unique(C.col - C.row).size
     return n_diags * S.shape[0] / C.nnz, n_diags
 
@@ -276,28 +459,55 @@ def _ell_cost(S):
     return max(kmax, 1) * S.shape[0] / R.nnz
 
 
-def choose_format(S) -> str:
-    """Pick 'dia' | 'ell' | 'bcoo' for a scipy sparse matrix.
+def _bsr_cost(S, R=_BSR_R, C=_BSR_C):
+    """(padding multiple, stored bytes) of the block-ELL packing."""
+    Coo = S.tocoo()
+    if Coo.nnz == 0:
+        return np.inf, 0
+    nbc = -(-S.shape[1] // C)
+    bid = (Coo.row // R).astype(np.int64) * nbc + Coo.col // C
+    uniq = np.unique(bid)
+    counts = np.bincount(uniq // nbc, minlength=-(-S.shape[0] // R))
+    Kb = max(int(counts.max()), 1)
+    stored = counts.size * Kb * R * C  # ELL-padded block storage
+    return stored / Coo.nnz, stored * 4
 
-    DIA wins when the pattern is few-diagonal (banded) — its matvec has no
-    gathers at all.  ELL wins when row occupancy is even enough that padding
-    is cheap.  Anything else stays BCOO.
+
+def choose_format(S) -> str:
+    """Pick 'dia' | 'bsr' | 'dense' | 'ell' | 'bcoo' for a scipy matrix.
+
+    Ladder (cheapest matvec first, host-side pattern analysis only):
+    1. DIA when the pattern is few-diagonal (banded) — zero gathers.
+    2. BSR when 8x128 block occupancy is dense enough — one 512-byte
+       segment gather per block, dense blocks streamed.
+    3. dense when the matrix fits the HBM budget — for unstructured
+       patterns streaming the zeros at 819 GB/s beats gathering the
+       non-zeros at ~1 GB/s up to ~100x padding (measured, RESULTS.md).
+    4. ELL (gather-only) / BCOO (gather+scatter) for huge unstructured
+       patterns beyond the dense budget.
     """
     forced = os.environ.get('OSQP_TPU_SPARSE_FORMAT', 'auto').lower()
-    if forced in ('bcoo', 'ell', 'dia'):
+    if forced in ('bcoo', 'ell', 'dia', 'bsr', 'dense'):
         return forced
     if S.nnz == 0:
         return 'dia'  # zero bands — trivially exact and free
     dia_waste, n_diags = _dia_cost(S)
     if dia_waste <= _WASTE_LIMIT and n_diags <= _DIA_MAX_BANDS:
         return 'dia'
+    dense_bytes = 4 * S.shape[0] * S.shape[1]
+    dense_ok = dense_bytes <= _dense_budget_bytes()
+    bsr_waste, bsr_bytes = _bsr_cost(S)
+    if bsr_waste <= _BSR_WASTE_LIMIT and (bsr_bytes < dense_bytes or not dense_ok):
+        return 'bsr'
+    if dense_ok:
+        return 'dense'
     if _ell_cost(S) <= _WASTE_LIMIT:
         return 'ell'
     return 'bcoo'
 
 
 def is_structured(M) -> bool:
-    return isinstance(M, (DiaMatrix, EllMatrix))
+    return isinstance(M, (DiaMatrix, EllMatrix, BsrMatrix))
 
 
 def from_scipy(S, dtype=np.float32, fmt: str | None = None):
@@ -307,6 +517,10 @@ def from_scipy(S, dtype=np.float32, fmt: str | None = None):
         return dia_from_scipy(S, dtype)
     if fmt == 'ell':
         return ell_from_scipy(S, dtype)
+    if fmt == 'bsr':
+        return bsr_from_scipy(S, dtype)
+    if fmt == 'dense':
+        return jnp.asarray(S.toarray(), dtype)
     from jax.experimental import sparse as jsparse
 
     C = S.tocoo()

@@ -87,6 +87,10 @@ class BandedQPData(NamedTuple):
     n: int
     m: int
     L: int
+    # setup-time scalars carried so solve() stays consistent with the baked
+    # diag_M / rho_vec (defaults keep older pickles/constructions working)
+    sigma: float = 1e-6
+    rho0: float = 0.1
 
 
 def _pad_square(S, n_rows, n_cols, N, extra_diag=0.0):
@@ -182,25 +186,33 @@ def banded_qp_setup(P_sp, q, A_sp, l, u, J, *, scaling=10, sigma=1e-6,
         E=f(padv(E, m, 1.0)), Einv=f(padv(1.0 / E, m, 1.0)),
         c=f(c), cinv=f(1.0 / c),
         offsets_p=offs_p, offsets_a=offs_a, offsets_at=offs_at,
-        n=n, m=m, L=L,
+        n=n, m=m, L=L, sigma=float(sigma), rho0=rho0,
     )
 
 
-def banded_qp_solve(mesh: Mesh, data: BandedQPData, *, sigma=1e-6, alpha=1.6,
-                    eps_abs=1e-3, eps_rel=1e-3, eps_prim_inf=1e-4,
-                    eps_dual_inf=1e-4, max_iter=4000, check_every=25,
-                    adaptive_rho=True, adaptive_rho_interval=100,
-                    adaptive_rho_tolerance=5.0, cg_tol=None, cg_max_iter=None,
-                    polish=False, delta=1e-6, polish_refine_iter=3,
-                    axis='mp', x0=None, z0=None, y0=None) -> BigQPResult:
-    """Solve the banded sharded QP.  Same result contract as
-    ``bigqp.big_qp_solve`` (unscaled x/y, statuses, certificates, polish);
-    ``x0``/``z0``/``y0`` warm-start with scaled iterates (length n/m)."""
+def _make_banded_run(mesh: Mesh, data: BandedQPData, *, sigma=None, alpha=1.6,
+                     eps_abs=1e-3, eps_rel=1e-3, eps_prim_inf=1e-4,
+                     eps_dual_inf=1e-4, max_iter=4000, check_every=25,
+                     adaptive_rho=True, adaptive_rho_interval=100,
+                     adaptive_rho_tolerance=5.0, cg_tol=None, cg_max_iter=None,
+                     polish=False, delta=1e-6, polish_refine_iter=3,
+                     axis='mp'):
+    """Build the shard_map'd solver kernel for this (mesh, settings) pair.
+
+    The returned ``run`` takes the sharded data arrays plus scaled/padded
+    warm-start iterates and returns a block-sharded :class:`BigQPResult`;
+    it is a pure jittable function, so :func:`banded_qp_solve` calls it
+    once and :func:`banded_mpc_rollout` scans it over a cost sequence."""
     J = mesh.shape[axis]
     n, m, L = data.n, data.m, data.L
     N = J * L
     dtype = data.q.dtype
     f = lambda v: jnp.asarray(v, dtype)
+    # diag_M was baked with setup's sigma; if the caller overrides sigma the
+    # preconditioner diagonal shifts by exactly (sigma - data.sigma)
+    if sigma is None:
+        sigma = data.sigma
+    sigma_shift = float(sigma) - float(data.sigma)
     sigma_t, alpha_t = f(sigma), f(alpha)
     eps_abs_t, eps_rel_t = f(eps_abs), f(eps_rel)
     eps_pinf_t, eps_dinf_t = f(eps_prim_inf), f(eps_dual_inf)
@@ -217,14 +229,6 @@ def banded_qp_solve(mesh: Mesh, data: BandedQPData, *, sigma=1e-6, alpha=1.6,
                    for offs in (offs_p, offs_a, offs_at)))
     fwd = [(j, j + 1) for j in range(J - 1)]   # send to right neighbor
     bwd = [(j + 1, j) for j in range(J - 1)]   # send to left neighbor
-
-    def padn(v, size, fill=0.0):
-        return (jnp.zeros((J, L), dtype) + f(fill) if v is None
-                else jnp.pad(f(v), (0, N - size), constant_values=fill).reshape(J, L))
-
-    x_init = padn(x0, n)
-    z_init = padn(z0, m)
-    y_init = padn(y0, m)
 
     spec_sh = P(axis)
     spec_rep = P()
@@ -298,6 +302,7 @@ def banded_qp_solve(mesh: Mesh, data: BandedQPData, *, sigma=1e-6, alpha=1.6,
         def Mmv(v, rho_loc, shift=sigma_t):
             return Pmv(v) + shift * v + Atmv(rho_loc * Amv(v))
 
+        diag_M = diag_M + f(sigma_shift)
         dinv0 = 1.0 / diag_M
         gram0 = gram_diag(rho_loc0)
         diagPsig = diag_M - gram0
@@ -464,9 +469,9 @@ def banded_qp_solve(mesh: Mesh, data: BandedQPData, *, sigma=1e-6, alpha=1.6,
             return (x, z, y, xt, dx, dy, rho_loc, rinv, dinv, rho_s, it,
                     status, pri, dua, obj, rupd)
 
-        rho_s0 = jnp.max(jnp.where(types_loc == 0, rho_loc0, 0.0), initial=0.0)
-        rho_s0 = lax.pmax(rho_s0, axis)
-        rho_s0 = jnp.where(rho_s0 > 0, rho_s0, f(0.1))
+        # the setup-time clipped scalar rho (matches the single-chip core,
+        # which adapts from settings.rho even for all-equality QPs)
+        rho_s0 = f(data.rho0)
         st0 = (
             x_i_loc, z_i_loc, y_i_loc, x_i_loc,
             jnp.zeros((L,), dtype), jnp.zeros((L,), dtype),
@@ -553,11 +558,32 @@ def banded_qp_solve(mesh: Mesh, data: BandedQPData, *, sigma=1e-6, alpha=1.6,
             status_polish=status_polish,
         )
 
+    return run
+
+
+def _pad_init(data: BandedQPData, v, size, fill=0.0):
+    J, L = data.q.shape
+    dtype = data.q.dtype
+    if v is None:
+        return jnp.zeros((J, L), dtype) + jnp.asarray(fill, dtype)
+    return jnp.pad(jnp.asarray(v, dtype), (0, J * L - size),
+                   constant_values=fill).reshape(J, L)
+
+
+def banded_qp_solve(mesh: Mesh, data: BandedQPData, *, x0=None, z0=None,
+                    y0=None, axis='mp', **settings) -> BigQPResult:
+    """Solve the banded sharded QP.  Same result contract as
+    ``bigqp.big_qp_solve`` (unscaled x/y, statuses, certificates, polish);
+    ``x0``/``z0``/``y0`` warm-start with scaled iterates (length n/m).
+    Settings (eps/max_iter/adaptive rho/cg/polish/sigma) are forwarded to
+    :func:`_make_banded_run` — see its signature for defaults."""
+    n, m = data.n, data.m
+    run = _make_banded_run(mesh, data, axis=axis, **settings)
     res = run(
         data.p_bands, data.a_bands, data.at_bands, data.a2t_bands,
         data.q, data.l, data.u, data.rho_vec, data.types, data.diag_M,
         data.D, data.Dinv, data.E, data.Einv, data.c, data.cinv,
-        x_init, z_init, y_init,
+        _pad_init(data, x0, n), _pad_init(data, z0, m), _pad_init(data, y0, m),
     )
     # un-pad: x/dual_inf_cert to n; y/z/prim_inf_cert to m
     return res._replace(
@@ -566,4 +592,142 @@ def banded_qp_solve(mesh: Mesh, data: BandedQPData, *, sigma=1e-6, alpha=1.6,
         z=res.z.reshape(-1)[:m],
         prim_inf_cert=res.prim_inf_cert.reshape(-1)[:m],
         dual_inf_cert=res.dual_inf_cert.reshape(-1)[:n],
+    )
+
+
+# ---------------------------------------------------------------------------
+# MPC workload surface: vector updates + warm rollout
+# (ref update semantics /root/reference/src/osqppurepy/_osqp.py:1312-1429)
+# ---------------------------------------------------------------------------
+
+
+def _host_dia_mv(bands_jl, offsets, v, out_len):
+    """Host-side DIA matvec on the (J, D, L) band blocks (un-splits them
+    back to global (D, N) bands) — used to rebuild the preconditioner
+    diagonal on bound updates without touching the device."""
+    b = np.asarray(bands_jl, np.float64)
+    J, D, L = b.shape
+    bands_g = b.transpose(1, 0, 2).reshape(D, J * L)
+    m = out_len
+    vp = np.concatenate([np.zeros(m), np.asarray(v, np.float64), np.zeros(m)])
+    acc = np.zeros(m)
+    for d, o in enumerate(offsets):
+        acc += bands_g[d] * vp[m + o: 2 * m + o]
+    return acc
+
+
+def banded_qp_update_vec(data: BandedQPData, q=None, l=None, u=None) -> BandedQPData:
+    """Update q/l/u WITHOUT re-running setup: rescale the new vectors with
+    the cached Ruiz scalers, and on bound changes re-type constraints,
+    rebuild the typed rho vector from the setup-time rho, and refresh the
+    CG preconditioner diagonal (all O(n) host work, no re-scaling pass) —
+    the distributed analogue of the single-chip backend's
+    ``update_data_vec`` (backends/jax_backend.py).  Returns a new
+    BandedQPData with identical pytree structure (safe to reuse compiled
+    solvers)."""
+    J, L = data.q.shape
+    n, m, N = data.n, data.m, J * L
+    dtype = data.q.dtype
+
+    def padv(v, size, fill):
+        return np.pad(np.asarray(v, np.float64), (0, N - size),
+                      constant_values=fill).reshape(J, L)
+
+    if q is not None:
+        q = np.asarray(q, np.float64).ravel()
+        if q.shape != (n,):
+            raise ValueError(f'q must have shape ({n},)')
+        D = np.asarray(data.D, np.float64).reshape(-1)[:n]
+        q_s = float(data.c) * (D * q)
+        data = data._replace(q=jnp.asarray(padv(q_s, n, 0.0), dtype))
+
+    if l is None and u is None:
+        return data
+
+    E = np.asarray(data.E, np.float64).reshape(-1)[:m]
+    l_new = (np.asarray(data.l, np.float64).reshape(-1)[:m] if l is None
+             else E * np.clip(np.asarray(l, np.float64).ravel(), -OSQP_INFTY, None))
+    u_new = (np.asarray(data.u, np.float64).reshape(-1)[:m] if u is None
+             else E * np.clip(np.asarray(u, np.float64).ravel(), None, OSQP_INFTY))
+    if l_new.shape != (m,) or u_new.shape != (m,):
+        raise ValueError(f'l/u must have shape ({m},)')
+    if np.any(l_new > u_new):
+        raise ValueError('l must be <= u elementwise')
+
+    # re-type + typed rho vector (same rules as setup; padding rows stay
+    # loose because their bounds are +-INFTY)
+    loose = (l_new < -OSQP_INFTY * _MIN_SCALING) & (u_new > OSQP_INFTY * _MIN_SCALING)
+    eq = (~loose) & (u_new - l_new < _RHO_TOL)
+    types = np.where(loose, -1, np.where(eq, 1, 0)).astype(np.int8)
+    rho0 = float(data.rho0)
+    rho_vec = np.where(loose, _RHO_MIN, np.where(eq, _RHO_EQ_FACTOR * rho0, rho0))
+    rho_pad = padv(rho_vec, m, _RHO_MIN)
+
+    # preconditioner diag: swap the gram(rho) term for the new rho
+    gram_old = _host_dia_mv(data.a2t_bands, data.offsets_at,
+                            np.asarray(data.rho_vec, np.float64).reshape(-1), N)
+    gram_new = _host_dia_mv(data.a2t_bands, data.offsets_at,
+                            rho_pad.reshape(-1), N)
+    diag_M = np.asarray(data.diag_M, np.float64).reshape(-1) - gram_old + gram_new
+
+    return data._replace(
+        l=jnp.asarray(padv(l_new, m, -OSQP_INFTY), dtype),
+        u=jnp.asarray(padv(u_new, m, OSQP_INFTY), dtype),
+        rho_vec=jnp.asarray(rho_pad, dtype),
+        types=jnp.asarray(padv(types, m, -1), jnp.int8),
+        diag_M=jnp.asarray(diag_M.reshape(J, L), dtype),
+    )
+
+
+class BandedRollout(NamedTuple):
+    """Per-step results of a warm MPC rollout plus the final scaled
+    iterates (feed them back as x0/z0/y0 to chain rollouts)."""
+
+    x: jax.Array        # (T, n) unscaled per-step solutions
+    iters: jax.Array    # (T,)
+    status: jax.Array   # (T,)
+    obj_val: jax.Array  # (T,)
+    x_carry: jax.Array  # (J, L) scaled
+    z_carry: jax.Array
+    y_carry: jax.Array
+
+
+def banded_mpc_rollout(mesh: Mesh, data: BandedQPData, q_seq, *, x0=None,
+                       z0=None, y0=None, axis='mp', **settings) -> BandedRollout:
+    """Warm MPC rollout on the fully-sharded banded mode: one ``lax.scan``
+    over a (T, n) sequence of UNSCALED cost vectors, carrying the scaled
+    iterates (x, z, y) between steps — the distributed analogue of the
+    single-chip ``batch.mpc_rollout`` / warm update(q)+solve loop.  All T
+    solves run in ONE device program (no host roundtrips between steps).
+    An infeasible step zeroes the carried iterates (cold restart next
+    step) instead of propagating NaN."""
+    n, m = data.n, data.m
+    J, L = data.q.shape
+    dtype = data.q.dtype
+    run = _make_banded_run(mesh, data, axis=axis, **settings)
+
+    qs = jnp.asarray(q_seq, dtype)
+    if qs.ndim != 2 or qs.shape[1] != n:
+        raise ValueError(f'q_seq must have shape (T, {n})')
+    T = qs.shape[0]
+    qpad = jnp.zeros((T, J * L), dtype).at[:, :n].set(qs).reshape(T, J, L)
+    q_scaled = data.c * data.D[None] * qpad
+
+    def step(carry, q_t):
+        x, z, y = carry
+        res = run(
+            data.p_bands, data.a_bands, data.at_bands, data.a2t_bands,
+            q_t, data.l, data.u, data.rho_vec, data.types, data.diag_M,
+            data.D, data.Dinv, data.E, data.Einv, data.c, data.cinv,
+            x, z, y,
+        )
+        x_s = jnp.nan_to_num(res.x * data.Dinv)       # unscaled -> scaled
+        y_s = jnp.nan_to_num(res.y * data.c * data.Einv)
+        return (x_s, res.z, y_s), (res.x, res.iters, res.status, res.obj_val)
+
+    init = (_pad_init(data, x0, n), _pad_init(data, z0, m), _pad_init(data, y0, m))
+    (xc, zc, yc), (xs, iters, statuses, objs) = jax.lax.scan(step, init, q_scaled)
+    return BandedRollout(
+        x=xs.reshape(T, -1)[:, :n], iters=iters, status=statuses,
+        obj_val=objs, x_carry=xc, z_carry=zc, y_carry=yc,
     )

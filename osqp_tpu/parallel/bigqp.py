@@ -81,6 +81,10 @@ class BigQPData(NamedTuple):
     m: int
     n_loc: int  # padded P row-block height
     m_loc: int  # padded A row-block height
+    # setup-time scalars carried so solve() stays consistent with the baked
+    # diag_M / rho_vec (defaults keep older constructions working)
+    sigma: float = 1e-6
+    rho0: float = 0.1
 
 
 class BigQPResult(NamedTuple):
@@ -170,26 +174,32 @@ def big_qp_setup(P_sp, q, A_sp, l, u, J, *, scaling=10, sigma=1e-6, rho=0.1,
         D=f(D), Dinv=f(1.0 / D),
         E=f(padm(E, 1.0)), Einv=f(padm(1.0 / E, 1.0)),
         c=f(c), cinv=f(1.0 / c),
-        n=n, m=m, n_loc=n_loc, m_loc=m_loc,
+        n=n, m=m, n_loc=n_loc, m_loc=m_loc, sigma=float(sigma), rho0=rho0,
     )
 
 
-def big_qp_solve(mesh: Mesh, data: BigQPData, *, sigma=1e-6, alpha=1.6,
-                 eps_abs=1e-3, eps_rel=1e-3, eps_prim_inf=1e-4,
-                 eps_dual_inf=1e-4, max_iter=4000, check_every=25,
-                 adaptive_rho=True, adaptive_rho_interval=100,
-                 adaptive_rho_tolerance=5.0, cg_tol=None, cg_max_iter=None,
-                 polish=False, delta=1e-6, polish_refine_iter=3,
-                 axis='mp', x0=None, z0=None, y0=None) -> BigQPResult:
-    """Solve the sharded QP.  ``x0``/``z0``/``y0`` warm-start (x unscaled
-    ignored - pass the scaled iterates from a previous BigQPResult.z etc. or
-    zeros).  Returns unscaled x/y like the single-device solver."""
+def _make_bigqp_run(mesh: Mesh, data: BigQPData, *, sigma=None, alpha=1.6,
+                    eps_abs=1e-3, eps_rel=1e-3, eps_prim_inf=1e-4,
+                    eps_dual_inf=1e-4, max_iter=4000, check_every=25,
+                    adaptive_rho=True, adaptive_rho_interval=100,
+                    adaptive_rho_tolerance=5.0, cg_tol=None, cg_max_iter=None,
+                    polish=False, delta=1e-6, polish_refine_iter=3,
+                    axis='mp'):
+    """Build the shard_map'd solver kernel for this (mesh, settings) pair:
+    a pure jittable function over the sharded data arrays plus the
+    scaled/padded warm-start iterates.  :func:`big_qp_solve` calls it once;
+    :func:`big_qp_mpc_rollout` scans it over a cost sequence."""
     from jax.experimental import sparse as jsparse
 
     J = mesh.shape[axis]
     n, m, n_loc, m_loc = data.n, data.m, data.n_loc, data.m_loc
     dtype = data.q.dtype
     f = lambda v: jnp.asarray(v, dtype)
+    # diag_M was baked with setup's sigma; if the caller overrides sigma the
+    # preconditioner diagonal shifts by exactly (sigma - data.sigma)
+    if sigma is None:
+        sigma = data.sigma
+    sigma_shift = float(sigma) - float(data.sigma)
     sigma_t, alpha_t = f(sigma), f(alpha)
     eps_abs_t, eps_rel_t = f(eps_abs), f(eps_rel)
     eps_pinf_t, eps_dinf_t = f(eps_prim_inf), f(eps_dual_inf)
@@ -200,12 +210,6 @@ def big_qp_solve(mesh: Mesh, data: BigQPData, *, sigma=1e-6, alpha=1.6,
     cg_cap = jnp.int32(cg_max_iter if cg_max_iter is not None else max(2 * n, 100))
     tolr = f(adaptive_rho_tolerance)
     epochs_per_adapt = max(adaptive_rho_interval // max(check_every, 1), 1)
-
-    x_init = f(jnp.zeros((n,)) if x0 is None else x0)
-    z_init = (jnp.zeros((J, m_loc), dtype) if z0 is None
-              else jnp.pad(f(z0), (0, J * m_loc - m)).reshape(J, m_loc))
-    y_init = (jnp.zeros((J, m_loc), dtype) if y0 is None
-              else jnp.pad(f(y0), (0, J * m_loc - m)).reshape(J, m_loc))
 
     spec_sh = P(axis)  # leading axis sharded
     spec_rep = P()
@@ -268,6 +272,7 @@ def big_qp_solve(mesh: Mesh, data: BigQPData, *, sigma=1e-6, alpha=1.6,
         def Mmv(v, rho_loc, shift=sigma_t):
             return Pmv(v) + shift * v + Atmv(rho_loc * (A_loc @ v))
 
+        diag_M = diag_M + f(sigma_shift)
         dinv0 = 1.0 / diag_M
         # split diag_M into its rho-independent part so adaptive rho can
         # rebuild the preconditioner without the host
@@ -450,9 +455,9 @@ def big_qp_solve(mesh: Mesh, data: BigQPData, *, sigma=1e-6, alpha=1.6,
             return (x, z, y, xt, dx, dy, rho_loc, rinv, dinv, rho_s, it,
                     status, pri, dua, obj, rupd)
 
-        rho_s0 = jnp.max(jnp.where(types_loc == 0, rho_loc0, 0.0), initial=0.0)
-        rho_s0 = lax.pmax(rho_s0, axis)
-        rho_s0 = jnp.where(rho_s0 > 0, rho_s0, f(0.1))
+        # the setup-time clipped scalar rho (matches the single-chip core,
+        # which adapts from settings.rho even for all-equality QPs)
+        rho_s0 = f(data.rho0)
         st0 = (
             x_i, z_i, y_i, x_i,
             jnp.zeros((n,), dtype), jnp.zeros((m_loc,), dtype),
@@ -544,6 +549,33 @@ def big_qp_solve(mesh: Mesh, data: BigQPData, *, sigma=1e-6, alpha=1.6,
             status_polish=status_polish,
         )
 
+    return run
+
+
+def _bigqp_inits(mesh, data, x0, z0, y0, axis):
+    J = mesh.shape[axis]
+    n, m, m_loc = data.n, data.m, data.m_loc
+    dtype = data.q.dtype
+    f = lambda v: jnp.asarray(v, dtype)
+    x_init = f(jnp.zeros((n,)) if x0 is None else x0)
+    z_init = (jnp.zeros((J, m_loc), dtype) if z0 is None
+              else jnp.pad(f(z0), (0, J * m_loc - m)).reshape(J, m_loc))
+    y_init = (jnp.zeros((J, m_loc), dtype) if y0 is None
+              else jnp.pad(f(y0), (0, J * m_loc - m)).reshape(J, m_loc))
+    return x_init, z_init, y_init
+
+
+def big_qp_solve(mesh: Mesh, data: BigQPData, *, x0=None, z0=None, y0=None,
+                 axis='mp', **settings) -> BigQPResult:
+    """Solve the sharded QP.  ``x0``/``z0``/``y0`` warm-start (x scaled
+    length-n; z0/y0 scaled length-m - pass iterates from a previous
+    BigQPResult.z etc. or zeros).  Returns unscaled x/y like the
+    single-device solver.  Settings (eps/max_iter/adaptive rho/cg/polish/
+    sigma) are forwarded to :func:`_make_bigqp_run` - see its signature
+    for defaults."""
+    m = data.m
+    run = _make_bigqp_run(mesh, data, axis=axis, **settings)
+    x_init, z_init, y_init = _bigqp_inits(mesh, data, x0, z0, y0, axis)
     res = run(
         data.pdata, data.pidx, data.adata, data.aidx, data.q,
         data.l, data.u, data.rho_vec, data.types,
@@ -555,4 +587,129 @@ def big_qp_solve(mesh: Mesh, data: BigQPData, *, sigma=1e-6, alpha=1.6,
         y=res.y.reshape(-1)[:m],
         z=res.z.reshape(-1)[:m],
         prim_inf_cert=res.prim_inf_cert.reshape(-1)[:m],
+    )
+
+
+# ---------------------------------------------------------------------------
+# MPC workload surface: vector updates + warm rollout
+# (ref update semantics /root/reference/src/osqppurepy/_osqp.py:1312-1429)
+# ---------------------------------------------------------------------------
+
+
+def _host_gram(data: BigQPData, rho_pad):
+    """gram[col] = sum_entries A[row, col]^2 * rho[row], host-side from the
+    padded row-block COO arrays (padding entries carry zero data)."""
+    ad = np.asarray(data.adata, np.float64)     # (J, nnzA)
+    ai = np.asarray(data.aidx, np.int64)        # (J, nnzA, 2)
+    gram = np.zeros(data.n)
+    vals = (ad * ad) * np.take_along_axis(
+        np.asarray(rho_pad, np.float64), ai[:, :, 0], axis=1
+    )
+    np.add.at(gram, ai[:, :, 1].ravel(), vals.ravel())
+    return gram
+
+
+def big_qp_update_vec(data: BigQPData, q=None, l=None, u=None) -> BigQPData:
+    """Update q/l/u WITHOUT re-running setup: rescale with the cached Ruiz
+    scalers; on bound changes re-type constraints, rebuild the typed rho
+    vector from the setup-time rho, and refresh the CG preconditioner
+    diagonal (O(nnz) host work) — the distributed analogue of the
+    single-chip backend's ``update_data_vec``.  Returns a new BigQPData
+    with identical pytree structure (compiled solvers stay valid)."""
+    J, m_loc = data.l.shape
+    n, m = data.n, data.m
+    dtype = data.q.dtype
+
+    def padm(v, fill):
+        return np.pad(np.asarray(v, np.float64), (0, J * m_loc - m),
+                      constant_values=fill).reshape(J, m_loc)
+
+    if q is not None:
+        q = np.asarray(q, np.float64).ravel()
+        if q.shape != (n,):
+            raise ValueError(f'q must have shape ({n},)')
+        D = np.asarray(data.D, np.float64)
+        data = data._replace(q=jnp.asarray(float(data.c) * (D * q), dtype))
+
+    if l is None and u is None:
+        return data
+
+    E = np.asarray(data.E, np.float64).reshape(-1)[:m]
+    l_new = (np.asarray(data.l, np.float64).reshape(-1)[:m] if l is None
+             else E * np.clip(np.asarray(l, np.float64).ravel(), -OSQP_INFTY, None))
+    u_new = (np.asarray(data.u, np.float64).reshape(-1)[:m] if u is None
+             else E * np.clip(np.asarray(u, np.float64).ravel(), None, OSQP_INFTY))
+    if l_new.shape != (m,) or u_new.shape != (m,):
+        raise ValueError(f'l/u must have shape ({m},)')
+    if np.any(l_new > u_new):
+        raise ValueError('l must be <= u elementwise')
+
+    loose = (l_new < -OSQP_INFTY * _MIN_SCALING) & (u_new > OSQP_INFTY * _MIN_SCALING)
+    eq = (~loose) & (u_new - l_new < _RHO_TOL)
+    types = np.where(loose, -1, np.where(eq, 1, 0)).astype(np.int8)
+    rho0 = float(data.rho0)
+    rho_vec = np.where(loose, _RHO_MIN, np.where(eq, _RHO_EQ_FACTOR * rho0, rho0))
+    rho_pad = padm(rho_vec, _RHO_MIN)
+
+    diag_M = (np.asarray(data.diag_M, np.float64)
+              - _host_gram(data, np.asarray(data.rho_vec, np.float64))
+              + _host_gram(data, rho_pad))
+
+    return data._replace(
+        l=jnp.asarray(padm(l_new, -OSQP_INFTY), dtype),
+        u=jnp.asarray(padm(u_new, OSQP_INFTY), dtype),
+        rho_vec=jnp.asarray(rho_pad, dtype),
+        types=jnp.asarray(padm(types, -1), jnp.int8),
+        diag_M=jnp.asarray(diag_M, dtype),
+    )
+
+
+class BigQPRollout(NamedTuple):
+    """Per-step results of a warm MPC rollout plus the final scaled
+    iterates (feed them back as x0/z0/y0 to chain rollouts)."""
+
+    x: jax.Array        # (T, n) unscaled per-step solutions
+    iters: jax.Array    # (T,)
+    status: jax.Array   # (T,)
+    obj_val: jax.Array  # (T,)
+    x_carry: jax.Array  # (n,) scaled
+    z_carry: jax.Array  # (J, m_loc) scaled
+    y_carry: jax.Array
+
+
+def big_qp_mpc_rollout(mesh: Mesh, data: BigQPData, q_seq, *, x0=None,
+                       z0=None, y0=None, axis='mp', **settings) -> BigQPRollout:
+    """Warm MPC rollout on the row-sharded huge-QP mode: one ``lax.scan``
+    over a (T, n) sequence of UNSCALED cost vectors, carrying scaled
+    iterates between steps (all T solves in ONE device program).  An
+    infeasible step zeroes the carried iterates (cold restart next step)
+    instead of propagating NaN."""
+    n = data.n
+    dtype = data.q.dtype
+    run = _make_bigqp_run(mesh, data, axis=axis, **settings)
+
+    qs = jnp.asarray(q_seq, dtype)
+    if qs.ndim != 2 or qs.shape[1] != n:
+        raise ValueError(f'q_seq must have shape (T, {n})')
+    q_scaled = data.c * data.D[None] * qs  # (T, n) replicated
+
+    def step(carry, q_t):
+        x, z, y = carry
+        res = run(
+            data.pdata, data.pidx, data.adata, data.aidx, q_t,
+            data.l, data.u, data.rho_vec, data.types,
+            data.diag_M, data.D, data.Dinv, data.E, data.Einv,
+            data.c, data.cinv, x, z, y,
+        )
+        x_s = jnp.nan_to_num(res.x * data.Dinv)       # unscaled -> scaled
+        y_s = jnp.nan_to_num(res.y * data.c * data.Einv)
+        return (x_s, res.z, y_s), (res.x, res.iters, res.status, res.obj_val)
+
+    x_i, z_i, y_i = _bigqp_inits(mesh, data, x0, z0, y0, axis)
+    (xc, zc, yc), (xs, iters, statuses, objs) = jax.lax.scan(
+        step, (x_i, z_i, y_i), q_scaled
+    )
+    return BigQPRollout(
+        x=xs, iters=iters, status=statuses, obj_val=objs,
+        x_carry=xc, z_carry=zc, y_carry=yc,
     )

@@ -173,3 +173,103 @@ def test_banded_bandwidth_guard():
     l, u = -np.ones(n), np.ones(n)
     with pytest.raises(ValueError, match='bandwidth'):
         banded_qp_setup(P, q, A, l, u, 8)
+
+
+def test_banded_update_vec_and_mpc_rollout():
+    """update_vec(q) + warm solve chain must match the lax.scan rollout
+    step-for-step (iterations AND solutions) — the distributed analogue of
+    the single-chip warm update(q)+solve MPC loop (ref update semantics
+    osqppurepy/_osqp.py:1312-1429)."""
+    from osqp_tpu.parallel.banded import banded_mpc_rollout, banded_qp_update_vec
+
+    J = 8
+    mesh = _mesh(J)
+    n = 128
+    P, q, A, l, u = _banded_qp(n, seed=13)
+    data = banded_qp_setup(P, q, A, l, u, J, dtype=jnp.float64)
+    kw = dict(eps_abs=1e-6, eps_rel=1e-6, max_iter=20000, cg_tol=1e-12)
+    T = 3
+    rng = np.random.default_rng(1)
+    q_seq = q[None] + 0.05 * rng.standard_normal((T, n))
+
+    roll = banded_mpc_rollout(mesh, data, q_seq, **kw)
+    assert (np.asarray(roll.status) == 1).all(), np.asarray(roll.status)
+    # warm steps after the first converge faster than a cold solve
+    assert int(roll.iters[-1]) <= int(roll.iters[0])
+
+    x0 = z0 = y0 = None
+    d = data
+    m = A.shape[0]
+    for t in range(T):
+        d = banded_qp_update_vec(d, q=q_seq[t])
+        res = banded_qp_solve(mesh, d, x0=x0, z0=z0, y0=y0, **kw)
+        assert int(res.status) == 1
+        assert int(res.iters) == int(roll.iters[t]), (t, int(res.iters), int(roll.iters[t]))
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(roll.x[t]),
+                                   rtol=1e-9, atol=1e-10)
+        x0 = np.asarray(res.x) / np.asarray(d.D.reshape(-1)[:n])
+        z0 = np.asarray(res.z)
+        y0 = (np.asarray(res.y) * float(d.c)
+              / np.maximum(np.asarray(d.E.reshape(-1)[:m]), 1e-30))
+
+    # chaining: a second rollout from the carried iterates re-solves the
+    # last cost in <= one check interval
+    roll2 = banded_mpc_rollout(mesh, data, q_seq[-1:], x0=roll.x_carry,
+                               z0=roll.z_carry, y0=roll.y_carry, **kw)
+    assert int(roll2.status[0]) == 1
+    assert int(roll2.iters[0]) <= 25
+
+
+def test_banded_update_bounds_retypes_and_matches_bigqp():
+    """Bound updates re-type constraints (eq/ineq/loose), rebuild the typed
+    rho vector and the CG preconditioner diagonal; banded and bigqp update
+    paths must stay at exact iteration parity, and the solution must match
+    the oracle on the updated problem."""
+    from osqp_tpu.parallel.banded import banded_qp_update_vec
+    from osqp_tpu.parallel.bigqp import (
+        big_qp_setup, big_qp_solve, big_qp_update_vec,
+    )
+
+    J = 8
+    mesh = _mesh(J)
+    n = 128
+    P, q, A, l, u = _banded_qp(n, seed=17)
+    kw = dict(eps_abs=1e-6, eps_rel=1e-6, max_iter=20000, cg_tol=1e-12)
+    data_b = banded_qp_setup(P, q, A, l, u, J, dtype=jnp.float64)
+    data_g = big_qp_setup(P, q, A, l, u, J, dtype=jnp.float64)
+
+    # new bounds: flip rows 0-2 from equality to inequality, make rows 6-9
+    # equalities, loosen row 10, shift the rest
+    l2, u2 = l.copy() - 0.05, u.copy() + 0.05
+    u2[:3] = l2[:3] + 1.0
+    l2[6:10] = u2[6:10] = 0.5 * (l2[6:10] + u2[6:10])
+    l2[10], u2[10] = -1e30, 1e30
+    q2 = q + 0.1
+
+    data_b2 = banded_qp_update_vec(data_b, q=q2, l=l2, u=u2)
+    data_g2 = big_qp_update_vec(data_g, q=q2, l=l2, u=u2)
+
+    # preconditioner diagonal exactness (banded): diag_M = diag(P_s) +
+    # sigma + diag(A_s' rho A_s) with the cached scalers and the NEW rho
+    D = np.asarray(data_b2.D, np.float64).reshape(-1)[:n]
+    E = np.asarray(data_b2.E, np.float64).reshape(-1)[:n]
+    c = float(data_b2.c)
+    A_s = sparse.diags(E) @ A @ sparse.diags(D)
+    rho_new = np.asarray(data_b2.rho_vec, np.float64).reshape(-1)[:n]
+    exp = (c * D * D * np.asarray(P.diagonal()) + data_b2.sigma
+           + np.asarray((A_s.multiply(A_s)).T @ rho_new).ravel())
+    np.testing.assert_allclose(
+        np.asarray(data_b2.diag_M, np.float64).reshape(-1)[:n], exp,
+        rtol=1e-10, atol=1e-12,
+    )
+
+    res_b = banded_qp_solve(mesh, data_b2, **kw)
+    res_g = big_qp_solve(mesh, data_g2, **kw)
+    assert int(res_b.status) == int(res_g.status) == 1
+    assert int(res_b.iters) == int(res_g.iters)
+    sol = _oracle(P, q2, A, l2, u2, eps_abs=1e-9, eps_rel=1e-9, max_iter=100000)
+    np.testing.assert_allclose(np.asarray(res_b.x), sol.x, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_g.x), sol.x, rtol=1e-4, atol=1e-4)
+
+    with pytest.raises(ValueError, match='l must be'):
+        banded_qp_update_vec(data_b, l=u + 1.0, u=u)

@@ -361,3 +361,30 @@ def test_big_qp_warm_start():
     )
     assert int(res2.status) == 1
     assert int(res2.iters) <= 25 < cold_iters
+
+
+def test_big_qp_mpc_rollout():
+    """lax.scan warm rollout on the row-sharded mode: step 0 matches a
+    fresh solve exactly; later warm steps converge in fewer iterations."""
+    from osqp_tpu.parallel.bigqp import (
+        big_qp_mpc_rollout, big_qp_setup, big_qp_solve,
+    )
+
+    mesh = _mesh((8,), ('mp',))
+    n, m = 96, 128
+    P, q, A, l, u = _random_sparse_qp(n, m, 0.08, seed=21)
+    data = big_qp_setup(P, q, A, l, u, 8, dtype=jnp.float64)
+    kw = dict(eps_abs=1e-6, eps_rel=1e-6, max_iter=20000, cg_tol=1e-12)
+
+    rng = np.random.default_rng(2)
+    q_seq = q[None] + 0.05 * rng.standard_normal((3, n))
+    roll = big_qp_mpc_rollout(mesh, data, q_seq, **kw)
+    assert (np.asarray(roll.status) == 1).all(), np.asarray(roll.status)
+
+    from osqp_tpu.parallel.bigqp import big_qp_update_vec
+
+    res0 = big_qp_solve(mesh, big_qp_update_vec(data, q=q_seq[0]), **kw)
+    assert int(res0.iters) == int(roll.iters[0])
+    np.testing.assert_allclose(np.asarray(res0.x), np.asarray(roll.x[0]),
+                               rtol=1e-9, atol=1e-10)
+    assert int(roll.iters[-1]) <= int(roll.iters[0])
