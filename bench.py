@@ -307,20 +307,23 @@ def kkt_sparse_probe(n, m, nnz_per_row=16, iters=50, fmt='bcoo', banded=False,
     rho = jnp.full((m,), 0.1, jnp.float32)
     v0 = jnp.asarray(rng.standard_normal(n), jnp.float32)
 
+    # operators are jit ARGUMENTS (registered pytrees), not closures: baked
+    # as closure constants they ship inside the compile payload, which the
+    # axon remote-compile endpoint rejects above ~100 MB (HTTP 413)
     @jax.jit
-    def chain(v):
+    def chain(P_op, A_op, At_op, rho, v):
         def body(_, v):
             Mv = P_op @ v + 1e-6 * v + At_op @ (rho * (A_op @ v))
             return Mv / jnp.maximum(jnp.max(jnp.abs(Mv)), 1e-30)
 
         return lax.fori_loop(0, iters, body, v)
 
-    _materialize(chain(v0))  # compile + hard completion barrier
+    _materialize(chain(P_op, A_op, At_op, rho, v0))  # compile + barrier
     reps = 3
     t0 = time.perf_counter()
     out = v0
     for _ in range(reps):
-        out = chain(out)
+        out = chain(P_op, A_op, At_op, rho, out)
     _materialize(out)
     dt = (time.perf_counter() - t0) / reps
 

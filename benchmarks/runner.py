@@ -122,6 +122,43 @@ def problem_family(kind, n, m, seed):
         s0 = rng.random(n) + 0.05
         u = A @ x0 + s0
         l = u - 2 * s0
+    elif kind == 'pinf':
+        # primal infeasible: the last two rows duplicate one constraint with
+        # disjoint equality levels (ref certificate spec _osqp.py:796-820)
+        u = A @ x0 + s0
+        l = u - 2 * s0
+        arow = sparse.csr_matrix(rng.standard_normal(n))
+        A = sparse.vstack([A, arow, arow]).tocsc()
+        l = np.concatenate([l, [1.0, 3.0]])
+        u = np.concatenate([u, [1.0, 3.0]])
+    elif kind == 'dinf':
+        # dual infeasible (unbounded LP): nonnegative A, lower bounds only,
+        # strictly negative costs -> a feasible improving ray exists
+        # (ref certificate spec _osqp.py:822-878)
+        P = sparse.csc_matrix((n, n))
+        A = sparse.csc_matrix(np.abs(A.toarray()))
+        q = -np.abs(q) - 0.1
+        l = A @ np.abs(x0) - s0
+        u = np.full(m, np.inf)
+    elif kind == 'degen':
+        # rank-deficient P (rank n//2) + duplicated constraint rows: the
+        # degenerate/dual-nonunique corner of the Maros-Meszaros variety
+        Pt = sparse.random(n, n // 2, density=density, random_state=rng)
+        P = (Pt @ Pt.T).tocsc()
+        A = sparse.vstack([A[: m // 2], A[: m - m // 2]]).tocsc()
+        Ax = A @ x0
+        s2 = np.concatenate([s0[: m // 2], s0[: m - m // 2]])
+        u = Ax + s2
+        l = u - 2 * s2
+    elif kind == 'illcond':
+        # ~1e8-condition P via geometric row/col scaling, plus row-scaled A
+        s = np.logspace(-2, 2, n)
+        P = sparse.diags(s) @ P @ sparse.diags(s)
+        P = (0.5 * (P + P.T)).tocsc()
+        r = np.logspace(-1, 1, m)
+        A = (sparse.diags(r) @ A).tocsc()
+        u = A @ x0 + r * s0
+        l = u - 2 * r * s0
     else:
         raise ValueError(kind)
     return P, q, A, l, u
@@ -168,25 +205,32 @@ SIZES = {
     'medium': [(200, 300), (500, 750)],
     'large': [(1000, 1500), (2000, 3000)],
 }
-KINDS = ['ineq', 'eq', 'mixed', 'lp', 'loose', 'banded']
+KINDS = ['ineq', 'eq', 'mixed', 'lp', 'loose', 'banded',
+         'pinf', 'dinf', 'degen', 'illcond']
+# families re-run with polishing ON (high-accuracy refinement parity,
+# ref polish spec _osqp.py:1710-1828) at the first size of each class
+POLISH_KINDS = ['ineq', 'mixed', 'degen']
 
 
 def _iter_problems(args):
     if args.maros_dir:
-        yield from load_maros_dir(args.maros_dir)
+        for name, P, q, A, l, u in load_maros_dir(args.maros_dir):
+            yield name, P, q, A, l, u, False
         return
     import zlib
 
     for size_class in args.sizes.split(','):
-        for (n, m) in SIZES[size_class]:
+        for si, (n, m) in enumerate(SIZES[size_class]):
             for kind in KINDS:
                 # deterministic seed (builtin hash() is salted per process,
                 # which made the suite non-reproducible run to run)
                 seed = zlib.crc32(f'{kind}-{n}'.encode()) % 2**31
                 P, q, A, l, u = problem_family(kind, n, m, seed=seed)
-                # label with the ACTUAL constraint count (the banded family
-                # builds a square n x n A, ignoring m)
-                yield f'{kind}-{n}x{A.shape[0]}', P, q, A, l, u
+                # label with the ACTUAL constraint count (some families
+                # reshape A)
+                yield f'{kind}-{n}x{A.shape[0]}', P, q, A, l, u, False
+                if si == 0 and kind in POLISH_KINDS:
+                    yield f'{kind}-pol-{n}x{A.shape[0]}', P, q, A, l, u, True
 
 
 def main():
@@ -201,10 +245,12 @@ def main():
     args = ap.parse_args()
 
     # Parity is judged against float64 comparators (the reference's builtin
-    # backend and purepy are both f64), so run the jax algebra at f64 too;
-    # f32 parity is covered separately by the TPU test ladder.
+    # backend and purepy are both f64), so run the jax algebra at f64 on
+    # CPU; f32 parity is covered separately by the TPU test ladder.  (Also
+    # keeps the runner off the single-client TPU tunnel.)
     import jax
 
+    jax.config.update('jax_platforms', 'cpu')
     jax.config.update('jax_enable_x64', True)
 
     import osqp_tpu as osqp
@@ -231,20 +277,22 @@ def main():
                         adaptive_rho_interval=200)
 
     rows = []
-    for name, P, q, A, l, u in _iter_problems(args):
-        row = dict(name=name, n=P.shape[0], m=A.shape[0])
+    for name, P, q, A, l, u, polish in _iter_problems(args):
+        row = dict(name=name, n=P.shape[0], m=A.shape[0],
+                   family=name.split('-')[0] + ('-pol' if polish else ''))
+        opts = dict(base_opts, polishing=polish)
 
         if args.comparator in ('oracle', 'both'):
             t0 = time.perf_counter()
             ref = osqp.OSQP(algebra='numpy')
-            ref.setup(P=P, q=q, A=A, l=l, u=u, **base_opts)
+            ref.setup(P=P, q=q, A=A, l=l, u=u, **opts)
             rres = ref.solve()
             row['t_oracle'] = round(time.perf_counter() - t0, 4)
 
             t0 = time.perf_counter()
             model = osqp.OSQP(algebra=args.algebra)
             model.setup(P=P, q=q, A=A, l=l, u=u,
-                        solver_type=args.solver_type, **base_opts)
+                        solver_type=args.solver_type, **opts)
             row['t_setup'] = round(time.perf_counter() - t0, 4)
             t0 = time.perf_counter()
             res = model.solve()
@@ -259,20 +307,23 @@ def main():
                     else None
                 ),
             )
+            if polish:
+                row['polish'] = res.info.status_polish
+                row['polish_oracle'] = rres.info.status_polish
 
         if purepy is not None:
             pp = purepy.OSQP()
             t0 = time.perf_counter()
             pp.setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
                      eps_abs=args.eps, eps_rel=args.eps,
-                     max_iter=20000, polish=False)
+                     max_iter=20000, polish=polish)
             rp = pp.solve()
             row['t_purepy'] = round(time.perf_counter() - t0, 4)
 
             mp_model = osqp.OSQP(algebra=args.algebra)
             mp_model.setup(P=P, q=q, A=A, l=l, u=u,
                            solver_type=args.solver_type,
-                           **dict(base_opts, **purepy_match))
+                           **dict(opts, **purepy_match))
             mp_res = mp_model.solve()
             row.update(
                 status_pp=mp_res.info.status_val,
@@ -281,15 +332,21 @@ def main():
                 iters_pp=mp_res.info.iter,
                 iters_purepy=rp.info.iter,
             )
+            if polish:
+                row['polish_pp'] = mp_res.info.status_polish
+                row['polish_purepy'] = int(getattr(rp.info, 'status_polish', 0))
 
         rows.append(row)
-        msg = f"{name:18s} n={row['n']:5d} m={row['m']:5d}"
+        msg = f"{name:22s} n={row['n']:5d} m={row['m']:5d}"
         if 'status' in row:
             msg += (f"  vs-oracle {row['status']}/{row['status_oracle']}"
                     f" it {row['iters']}/{row['iters_oracle']}")
         if 'status_purepy' in row:
             msg += (f"  vs-purepy {row['status_pp']}/{row['status_purepy']}"
                     f" it {row['iters_pp']}/{row['iters_purepy']}")
+        if polish:
+            msg += (f"  pol {row.get('polish')}/{row.get('polish_oracle')}"
+                    f"/{row.get('polish_purepy')}")
         print(msg)
 
     summary = dict(problems=len(rows))
@@ -311,6 +368,29 @@ def main():
         summary['iteration_parity_vs_reference_purepy'] = round(float(np.mean(
             [r['iters_pp'] == r['iters_purepy'] for r in pp_rows
              if r['status_pp'] == r['status_purepy']])), 3)
+
+    # per-family breakdown (vs the strongest available comparator)
+    by_family = {}
+    for r in rows:
+        fam = r.get('family', r['name'].split('-')[0])
+        sk, ik = (('status_pp', 'status_purepy') if 'status_purepy' in r
+                  else ('status', 'status_oracle'))
+        if sk not in r:
+            continue
+        ent = by_family.setdefault(fam, dict(n=0, status_ok=0, iter_ok=0))
+        ent['n'] += 1
+        ent['status_ok'] += int(r[sk] == r[ik])
+        ent['iter_ok'] += int(
+            r[sk] == r[ik]
+            and r[('iters_pp' if sk == 'status_pp' else 'iters')]
+            == r[('iters_purepy' if sk == 'status_pp' else 'iters_oracle')]
+        )
+    summary['by_family'] = {
+        fam: dict(n=e['n'],
+                  status_parity=round(e['status_ok'] / e['n'], 3),
+                  iteration_parity=round(e['iter_ok'] / e['n'], 3))
+        for fam, e in sorted(by_family.items())
+    }
     print('\nsummary:')
     print(json.dumps(summary))
 

@@ -15,6 +15,7 @@ works natively on TPU), float32 otherwise.
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -340,7 +341,13 @@ class Solver:
             print_iter_header()
 
         time_limit = float(stg.time_limit or 0.0)
-        if time_limit <= 0.0:
+        # Chunked execution is forced by a time limit and opt-in for plain
+        # solves (OSQP_TPU_CHUNKED_SOLVE=1), whose single jitted call could
+        # otherwise not be interrupted: the C core polls the SIGINT flag
+        # every iteration (reference bindings.cpp.in:349-361), while a
+        # device while_loop cannot - chunk boundaries are our poll points.
+        chunked = time_limit > 0.0 or os.environ.get('OSQP_TPU_CHUNKED_SOLVE') == '1'
+        if not chunked:
             res = core.solve_scaled(
                 self._data,
                 self._scal,
@@ -388,7 +395,7 @@ class Solver:
                     iterates, rho, factor = res.iterates, res.rho, res.factor
                     if int(res.status) != int(SolverStatus.OSQP_UNSOLVED) or it0 >= max_iter:
                         break
-                    if time.perf_counter() - t0 > time_limit:
+                    if time_limit > 0.0 and time.perf_counter() - t0 > time_limit:
                         res = res._replace(
                             status=jnp.int32(int(SolverStatus.OSQP_TIME_LIMIT_REACHED))
                         )

@@ -35,6 +35,26 @@ def to_numpy(t):
     return np.empty(0) if t.nelement() == 0 else t.detach().cpu().numpy()
 
 
+def _solver_dtype():
+    """Solver precision policy: float64 only where it is NATIVE (CPU with
+    x64 enabled); float32 on accelerators, where f64 is emulated and would
+    crawl on the very hardware this layer targets.  Override with
+    ``OSQP_TPU_NN_DTYPE=float32|float64``."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    forced = os.environ.get('OSQP_TPU_NN_DTYPE')
+    if forced == 'float32':
+        return jnp.float32
+    if forced == 'float64':
+        return jnp.float64
+    if jax.config.jax_enable_x64 and jax.default_backend() == 'cpu':
+        return jnp.float64
+    return jnp.float32
+
+
 class OSQP(Module):
     def __init__(self, P_idx, P_shape, A_idx, A_shape, eps_rel=1e-5,
                  eps_abs=1e-5, verbose=False, max_iter=10000, algebra=None,
@@ -88,11 +108,9 @@ def _OSQP_Fn(P_idx, P_shape, A_idx, A_shape, eps_rel, eps_abs, verbose, max_iter
             l_np = to_numpy(l_val_b)
             u_np = to_numpy(u_val_b)
 
-            import jax.numpy as jnp
-
             from ..batch import BatchedOSQP
 
-            solver = BatchedOSQP(dtype=jnp.float64)
+            solver = BatchedOSQP(dtype=_solver_dtype())
             solver.setup(
                 P_sym, q_np, A_np, l_np, u_np,
                 verbose=verbose, eps_abs=eps_abs, eps_rel=eps_rel, max_iter=max_iter,

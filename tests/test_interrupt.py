@@ -110,3 +110,35 @@ def test_rho_updates_accumulate_across_chunks():
     # regression to bite
     assert res_chunk.info.iter > 100
     assert res_chunk.info.rho_updates >= 1
+
+
+def test_plain_solve_interruptible_with_chunked_env(monkeypatch):
+    """A plain solve() with NO time_limit can opt into chunked execution
+    (OSQP_TPU_CHUNKED_SOLVE=1) and then returns OSQP_SIGINT on interrupt -
+    closing the gap vs the C core's every-iteration polling (reference
+    bindings.cpp.in:349-361)."""
+    monkeypatch.setenv('OSQP_TPU_CHUNKED_SOLVE', '1')
+    m = _setup(time_limit=0, max_iter=100000)
+    calls = {'n': 0}
+
+    def raise_after_two():
+        calls['n'] += 1
+        if calls['n'] >= 2:
+            raise KeyboardInterrupt
+
+    monkeypatch.setattr(jax_backend, '_poll_interrupt', raise_after_two)
+    res = m.solve()
+    assert res.info.status_val == int(SolverStatus.OSQP_SIGINT)
+    assert np.isfinite(res.x).all()
+    assert 0 < res.info.iter < 100000
+
+    # without the env the same plain solve is a single uninterruptible
+    # jitted call that completes normally
+    monkeypatch.delenv('OSQP_TPU_CHUNKED_SOLVE')
+    calls['n'] = 0
+    m2 = _setup(time_limit=0, max_iter=100000)
+    res2 = m2.solve()
+    assert res2.info.status_val in (
+        int(SolverStatus.OSQP_SOLVED),
+        int(SolverStatus.OSQP_SOLVED_INACCURATE),
+    )

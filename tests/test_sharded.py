@@ -174,14 +174,18 @@ def test_dp_mp_warm_start():
     mesh = _mesh((2, 4), ('dp', 'mp'))
     B, n, m = 2, 8, 16
     P, q, A, l, u = _random_batch(B, n, m, seed=3)
+    # same (shape, settings) as the infeasibility-certificate tests so all
+    # three share ONE compiled program (cold and warm calls share it too:
+    # x0/y0 are always materialized arrays) — this test alone cost 208 s
+    # when its eps pinned a private compile
+    eps = dict(eps_abs=1e-5, eps_rel=1e-5)
     res = dp_mp_solve(mesh, jnp.asarray(P, jnp.float64), q, A, l, u,
-                      eps_abs=1e-6, eps_rel=1e-6, max_iter=4000)
+                      max_iter=4000, **eps)
     assert (np.asarray(res.status) == 1).all()
     cold = np.asarray(res.iters)
 
     res2 = dp_mp_solve(mesh, jnp.asarray(P, jnp.float64), q, A, l, u,
-                       eps_abs=1e-6, eps_rel=1e-6, max_iter=4000,
-                       x0=res.x, y0=res.y)
+                       max_iter=4000, x0=res.x, y0=res.y, **eps)
     assert (np.asarray(res2.status) == 1).all()
     warm = np.asarray(res2.iters)
     # warm start at the optimum terminates at the first check
