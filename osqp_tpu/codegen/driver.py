@@ -85,11 +85,30 @@ def export_workspace(solver):
         )
     # jax backend
     stg = solver._stg
+    if getattr(solver, '_is_sparse', False):
+        # sparse-mode solvers hold P/A as TPU operators (DIA/ELL/BSR/
+        # dense/BCOO); rebuild the SCALED scipy matrices from the cached
+        # originals + Ruiz scalers instead of densifying the operator
+        D = np.asarray(solver._scal.D, np.float64)
+        E = np.asarray(solver._scal.E, np.float64)
+        c = float(solver._scal.c)
+        P_sp = (c * (sp.diags(D) @ solver._P_orig @ sp.diags(D))).tocsr()
+        A_sp = ((sp.diags(E) @ solver._A_orig @ sp.diags(D)).tocsr()
+                if solver.m else sp.csr_matrix((0, solver.n)))
+        dense = None
+    else:
+        P_sp = A_sp = None
+        dense = dict(
+            P=np.asarray(solver._data.P, np.float64),
+            A=np.asarray(solver._data.A, np.float64),
+        )
     return dict(
         n=solver.n,
         m=solver.m,
-        P=np.asarray(solver._data.P, np.float64),
-        A=np.asarray(solver._data.A, np.float64),
+        P=None if dense is None else dense['P'],
+        A=None if dense is None else dense['A'],
+        P_sp=P_sp,
+        A_sp=A_sp,
         q=np.asarray(solver._data.q, np.float64),
         l=np.asarray(solver._data.l, np.float64),
         u=np.asarray(solver._data.u, np.float64),
@@ -103,10 +122,22 @@ def export_workspace(solver):
     )
 
 
+def _csr_pos_map(S):
+    """dict {(row, col): data position} for a CSR matrix."""
+    S = S.tocsr()
+    S.sort_indices()
+    pos = {}
+    for i in range(S.shape[0]):
+        for k in range(S.indptr[i], S.indptr[i + 1]):
+            pos[(i, int(S.indices[k]))] = k
+    return pos
+
+
 def generate(model, folder, parameters='vectors', extension_name='emosqp',
              force_rewrite=False, use_float=False, prefix='', compile=False,
              printing_enable=False, profiling_enable=False,
-             interrupt_enable=False, derivatives_enable=False):
+             interrupt_enable=False, derivatives_enable=False,
+             embedded_algebra='auto'):
     """Emit the embedded C project.
 
     The enable flags mirror the reference's OSQPCodegenDefines
@@ -116,17 +147,28 @@ def generate(model, folder, parameters='vectors', extension_name='emosqp',
     cooperative interrupt flag polled at termination checks,
     derivatives = reserved define, always emitted for parity — the
     reference hardcodes derivatives_enable = 0 too).
+
+    ``embedded_algebra`` selects the emitted linear algebra:
+
+    - ``'dense'``  — dense P/A and a baked Cholesky factor; O(n^2) statics.
+    - ``'sparse'`` — CSR P/A/A' and a Jacobi-PCG KKT solve; O(nnz)
+      statics, the analogue of the reference shipping its sparse
+      ``codegen_src`` into the emitted project (reference
+      src/osqp/interface.py:480-488).
+    - ``'auto'``   — sparse when the model runs in sparse mode or the
+      dense workspace would exceed ~200k entries.
     """
     ws = export_workspace(model._solver)
     mode = 1 if parameters == 'vectors' else 2
     n, m = ws['n'], ws['m']
     stg = ws['settings']
 
-    # Bake the Cholesky factor of M = P + sigma I + A' diag(rho) A.
-    M = ws['P'] + stg.sigma * np.eye(n)
-    if m:
-        M = M + ws['A'].T @ (ws['rho_vec'][:, None] * ws['A'])
-    L = np.linalg.cholesky(M)
+    if embedded_algebra == 'auto':
+        embedded_algebra = (
+            'sparse' if (ws.get('P_sp') is not None or n * n + m * n > 200_000)
+            else 'dense'
+        )
+    sparse_mode = embedded_algebra == 'sparse'
 
     cfloat = 'float' if use_float else 'double'
     npy_float = 'NPY_FLOAT32' if use_float else 'NPY_FLOAT64'
@@ -142,6 +184,33 @@ def generate(model, folder, parameters='vectors', extension_name='emosqp',
     A_rows = A_csc.indices
     A_cols = np.repeat(np.arange(n), np.diff(A_csc.indptr))
 
+    if sparse_mode:
+        # scaled CSR operands (full symmetric P, A, A')
+        if ws.get('P_sp') is not None:
+            P_csr, A_csr = ws['P_sp'].tocsr(), ws['A_sp'].tocsr()
+        else:
+            P_csr = sp.csr_matrix(ws['P'])
+            A_csr = sp.csr_matrix(ws['A'])
+        P_csr.sort_indices()
+        A_csr.sort_indices()
+        At_csr = A_csr.T.tocsr()
+        At_csr.sort_indices()
+        diag_M = (np.asarray(P_csr.diagonal()).ravel() + stg.sigma
+                  + (np.asarray((A_csr.multiply(A_csr)).T @ ws['rho_vec']).ravel()
+                     if m else 0.0))
+        L = None
+    else:
+        if ws.get('P') is None:
+            raise ValueError(
+                "dense embedded_algebra on a sparse-mode model; pass "
+                "embedded_algebra='sparse'"
+            )
+        # Bake the Cholesky factor of M = P + sigma I + A' diag(rho) A.
+        M = ws['P'] + stg.sigma * np.eye(n)
+        if m:
+            M = M + ws['A'].T @ (ws['rho_vec'][:, None] * ws['A'])
+        L = np.linalg.cholesky(M)
+
     tokens = {
         '@PREFIX@': prefix,
         '@PREFIX_UPPER@': (prefix or 'OSQP_TPU_').upper(),
@@ -156,7 +225,30 @@ def generate(model, folder, parameters='vectors', extension_name='emosqp',
         '@PRINTING@': '1' if printing_enable else '0',
         '@INTERRUPT@': '1' if interrupt_enable else '0',
         '@DERIVATIVES@': '1' if derivatives_enable else '0',
+        '@CG_TOL@': '1e-7' if use_float else '1e-12',
+        '@CG_MAX_ITER@': str(max(2 * n, 100)),
     }
+    if sparse_mode:
+        tokens['@EXTRA_WORK@'] = f'    emb_float_t xt[{n}];\n'
+        tokens['@MATRIX_DECLS@'] = '\n'.join([
+            f'extern {cfloat} {prefix}P_data[];',
+            f'extern int {prefix}P_indices[];',
+            f'extern int {prefix}P_indptr[];',
+            f'extern {cfloat} {prefix}A_data[];',
+            f'extern int {prefix}A_indices[];',
+            f'extern int {prefix}A_indptr[];',
+            f'extern {cfloat} {prefix}At_data[];',
+            f'extern int {prefix}At_indices[];',
+            f'extern int {prefix}At_indptr[];',
+            f'extern {cfloat} {prefix}diag_M[];',
+        ])
+    else:
+        tokens['@EXTRA_WORK@'] = ''
+        tokens['@MATRIX_DECLS@'] = '\n'.join([
+            f'extern {cfloat} {prefix}P[];',
+            f'extern {cfloat} {prefix}A[];',
+            f'extern {cfloat} {prefix}L[];',
+        ])
     if mode == 2:
         tokens['@PATTERN_DECLS@'] = (
             f'#define {prefix}P_nnz {len(P_rows)}\n'
@@ -165,6 +257,13 @@ def generate(model, folder, parameters='vectors', extension_name='emosqp',
             f'extern int {prefix}P_pat_col[];\n'
             f'extern int {prefix}A_pat_row[];\n'
             f'extern int {prefix}A_pat_col[];\n'
+            + (
+                f'extern int {prefix}P_map1[];\n'
+                f'extern int {prefix}P_map2[];\n'
+                f'extern int {prefix}A_map[];\n'
+                f'extern int {prefix}At_map[];\n'
+                if sparse_mode else ''
+            )
         )
     else:
         tokens['@PATTERN_DECLS@'] = ''
@@ -186,9 +285,27 @@ def generate(model, folder, parameters='vectors', extension_name='emosqp',
         f'{max(int(stg.check_termination), 1)}, {int(bool(stg.warm_starting))}, '
         f'{int(bool(stg.adaptive_rho))}, {_adaptive_interval(stg)}}};',
         f'{prefix}Workspace {prefix}work;',
-        _carray(f'{prefix}P', ws['P'], cfloat),
-        _carray(f'{prefix}A', ws['A'], cfloat),
-        _carray(f'{prefix}L', L, cfloat),
+    ]
+    if sparse_mode:
+        defs += [
+            _carray(f'{prefix}P_data', P_csr.data, cfloat),
+            _carray(f'{prefix}P_indices', P_csr.indices, 'int'),
+            _carray(f'{prefix}P_indptr', P_csr.indptr, 'int'),
+            _carray(f'{prefix}A_data', A_csr.data, cfloat),
+            _carray(f'{prefix}A_indices', A_csr.indices, 'int'),
+            _carray(f'{prefix}A_indptr', A_csr.indptr, 'int'),
+            _carray(f'{prefix}At_data', At_csr.data, cfloat),
+            _carray(f'{prefix}At_indices', At_csr.indices, 'int'),
+            _carray(f'{prefix}At_indptr', At_csr.indptr, 'int'),
+            _carray(f'{prefix}diag_M', diag_M, cfloat),
+        ]
+    else:
+        defs += [
+            _carray(f'{prefix}P', ws['P'], cfloat),
+            _carray(f'{prefix}A', ws['A'], cfloat),
+            _carray(f'{prefix}L', L, cfloat),
+        ]
+    defs += [
         _carray(f'{prefix}q', ws['q'], cfloat),
         _carray(f'{prefix}l', ws['l'], cfloat),
         _carray(f'{prefix}u', ws['u'], cfloat),
@@ -211,13 +328,30 @@ def generate(model, folder, parameters='vectors', extension_name='emosqp',
             _carray(f'{prefix}A_pat_row', A_rows, 'int'),
             _carray(f'{prefix}A_pat_col', A_cols, 'int'),
         ]
+        if sparse_mode:
+            # user-data-order (triu CSC) index -> CSR data positions
+            p_pos = _csr_pos_map(P_csr)
+            a_pos = _csr_pos_map(A_csr)
+            at_pos = _csr_pos_map(At_csr)
+            P_map1 = [p_pos[(int(r), int(c))] for r, c in zip(P_rows, P_cols)]
+            P_map2 = [p_pos[(int(c), int(r))] if r != c else -1
+                      for r, c in zip(P_rows, P_cols)]
+            A_map = [a_pos[(int(r), int(c))] for r, c in zip(A_rows, A_cols)]
+            At_map = [at_pos[(int(c), int(r))] for r, c in zip(A_rows, A_cols)]
+            defs += [
+                _carray(f'{prefix}P_map1', P_map1, 'int'),
+                _carray(f'{prefix}P_map2', P_map2, 'int'),
+                _carray(f'{prefix}A_map', A_map, 'int'),
+                _carray(f'{prefix}At_map', At_map, 'int'),
+            ]
 
     # fix up declared sizes in the header vs definitions: definitions use
     # their own sizes, header declares unsized extern arrays for matrices.
+    solver_template = ctemplates.SOLVER_SPARSE_C if sparse_mode else ctemplates.SOLVER_C
     files = {
         f'{prefix}workspace.h': render(ctemplates.WORKSPACE_H),
         f'{prefix}workspace.c': '\n'.join(defs) + '\n',
-        f'{prefix}emosqp_solver.c': render(ctemplates.SOLVER_C),
+        f'{prefix}emosqp_solver.c': render(solver_template),
         'CMakeLists.txt': render(ctemplates.CMAKELISTS),
     }
     if extension_name is not None:

@@ -468,6 +468,7 @@ class OSQP:
         include_codegen_src=True,
         prefix='',
         compile=False,
+        embedded_algebra='auto',
     ):
         """Generate an embedded solver with baked problem data
         (reference interface.py:449-517; see osqp_tpu/codegen).  The
@@ -491,6 +492,7 @@ class OSQP:
             profiling_enable=profiling_enable,
             interrupt_enable=interrupt_enable,
             derivatives_enable=derivatives_enable,
+            embedded_algebra=embedded_algebra,
         )
 
     # -- derivatives -------------------------------------------------------

@@ -434,6 +434,11 @@ _DIA_MAX_BANDS = 1024
 # larger padding multiple still wins; beyond it dense streaming or BCOO is
 # cheaper.
 _BSR_WASTE_LIMIT = 24.0
+# Measured on chip (BENCH r05 kkt_probe): plain dense streaming moves
+# ~9x more bytes/s than the BSR gather+reduce path (699 vs 73 GB/s), so
+# when both fit, BSR only wins wall-clock if it saves at least this factor
+# in stored bytes.
+_BSR_VS_DENSE = 4.0
 
 
 def _dense_budget_bytes():
@@ -497,7 +502,9 @@ def choose_format(S) -> str:
     dense_bytes = 4 * S.shape[0] * S.shape[1]
     dense_ok = dense_bytes <= _dense_budget_bytes()
     bsr_waste, bsr_bytes = _bsr_cost(S)
-    if bsr_waste <= _BSR_WASTE_LIMIT and (bsr_bytes < dense_bytes or not dense_ok):
+    if bsr_waste <= _BSR_WASTE_LIMIT and (
+        bsr_bytes * _BSR_VS_DENSE < dense_bytes or not dense_ok
+    ):
         return 'bsr'
     if dense_ok:
         return 'dense'

@@ -245,3 +245,74 @@ def test_codegen_aot_export():
     nptest.assert_array_almost_equal(np.asarray(x), [0.0, 5.0],
                                      decimal=3 if f32_device() else 5)
     assert int(status) == 1
+
+
+@pytest.fixture(scope='module')
+def sparse_cg_module(tmp_path_factory):
+    """n=2000 banded QP through the SPARSE embedded emitter: CSR + PCG,
+    O(nnz) statics — the analogue of the reference shipping its sparse
+    codegen_src into the emitted project (ref interface.py:480-488)."""
+    n = 2000
+    rng = np.random.default_rng(0)
+    P = sparse.diags(
+        [np.full(n, 2.0), np.full(n - 1, -0.7), np.full(n - 1, -0.7)], [0, 1, -1]
+    ).tocsc()
+    A = (sparse.eye(n) + sparse.diags([np.full(n - 2, 0.4)], [2], shape=(n, n))).tocsc()
+    q = rng.standard_normal(n)
+    x0 = rng.standard_normal(n)
+    s0 = rng.random(n) + 0.1
+    u = A @ x0 + s0
+    l = u - 2 * s0
+    opts = dict(verbose=False, eps_abs=1e-5, eps_rel=1e-5)
+    model = osqp.OSQP(algebra='jax', sparse=True)
+    model.setup(P=P, q=q, A=A, l=l, u=u, **opts)
+
+    folder = str(tmp_path_factory.mktemp('cg_sparse'))
+    ext = 'sparse_emosqp'
+    model_dir = model.codegen(
+        folder, parameters='matrices', extension_name=ext,
+        force_rewrite=True, compile=True,  # embedded_algebra='auto' -> sparse
+    )
+    sys.path.insert(0, model_dir)
+    mod = __import__(ext)
+    yield mod, model, (P, q, A, l, u)
+    sys.path.remove(model_dir)
+
+
+def test_codegen_sparse_workspace_is_O_nnz(sparse_cg_module, tmp_path):
+    mod, model, _ = sparse_cg_module
+    import os
+
+    folder = os.path.dirname(mod.__file__)
+    src = open(os.path.join(folder, 'workspace.c')).read()
+    # CSR data baked, NO dense matrices / Cholesky factor
+    assert 'P_data' in src and 'At_data' in src and 'diag_M' in src
+    assert 'double L[' not in src and ' P[' not in src
+    # a dense n=2000 workspace would be >70 MB of literals; sparse is ~1 MB
+    assert os.path.getsize(os.path.join(folder, 'workspace.c')) < 5_000_000
+
+
+def test_codegen_sparse_solve_and_updates(sparse_cg_module):
+    mod, model, (P, q, A, l, u) = sparse_cg_module
+    x, y, status, niter, _ = mod.solve()
+    assert status == 1
+    ref = model.solve()
+    nptest.assert_allclose(x, ref.x, atol=5e-3)
+
+    # vector update
+    mod.update_data_vec(q=q + 0.1)
+    x2, _, s2, _, _ = mod.solve()
+    assert s2 == 1
+    model.update(q=q + 0.1)
+    nptest.assert_allclose(x2, model.solve().x, atol=5e-3)
+
+    # matrix value update through the baked CSR index maps
+    Px_new = sparse.triu(P, format='csc').data * 1.2
+    mod.update_data_mat(P_x=Px_new)
+    x3, _, s3, _, _ = mod.solve()
+    assert s3 == 1
+    model.update(Px=Px_new)
+    nptest.assert_allclose(x3, model.solve().x, atol=5e-3)
+    # restore for other tests
+    mod.update_data_vec(q=q)
+    mod.update_data_mat(P_x=sparse.triu(P, format='csc').data)

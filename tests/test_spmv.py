@@ -89,9 +89,13 @@ def test_choose_format(monkeypatch):
     monkeypatch.delenv('OSQP_TPU_SPARSE_FORMAT', raising=False)
     banded = _random_banded(200, 200, (-1, 0, 1))
     assert spmv.choose_format(banded) == 'dia'
-    # block-clustered pattern -> BSR (dense blocks cheaper than full dense)
-    clustered = _clustered_sparse(16, 8, frac=0.1, seed=7)
+    # block-clustered pattern -> BSR when the blocks save >=4x the bytes of
+    # dense streaming (chip-measured per-byte speed gap, spmv._BSR_VS_DENSE)
+    clustered = _clustered_sparse(64, 8, frac=0.01, seed=9)
     assert spmv.choose_format(clustered) == 'bsr'
+    # a denser cluster pattern does NOT save enough bytes -> dense streaming
+    packed = _clustered_sparse(16, 8, frac=0.3, seed=7)
+    assert spmv.choose_format(packed) == 'dense'
     # moderate unstructured pattern -> dense streaming beats gathers on TPU
     even_rows = _random_sparse(200, 200, 0.05, seed=7)
     assert spmv.choose_format(even_rows) == 'dense'
@@ -235,18 +239,20 @@ def _super_clustered(nsb, pairs, seed, scale):
     rng = np.random.default_rng(seed)
     n = nsb * 128
     S = sp.lil_matrix((n, n))
-    placed = [(i, i) for i in range(nsb)] + [p for (i, j) in pairs for p in ((i, j), (j, i))]
-    for (i, j) in placed:
+    for (i, j) in [(i, i) for i in range(nsb)] + sorted(pairs):
         B = rng.standard_normal((128, 128)) * scale
         if i == j:
             B = (B + B.T) / 2
         S[i * 128:(i + 1) * 128, j * 128:(j + 1) * 128] = B
+        if i != j:  # symmetric placement: the (j, i) block is B'
+            S[j * 128:(j + 1) * 128, i * 128:(i + 1) * 128] = B.T
     return S.tocsc()
 
 
-def _clustered_qp(seed=0, nsb=16, n_pairs=20):
+def _clustered_qp(seed=0, nsb=32, n_pairs=15):
     """QP whose P/A patterns are scattered dense 128x128 super-blocks — the
-    BSR showcase.  P is PSD by diagonal dominance (small off-diagonal
+    BSR showcase (sparse enough that block storage saves >=4x the bytes of
+    dense streaming).  P is PSD by diagonal dominance (small off-diagonal
     values, unit diagonal ridge)."""
     rng = np.random.default_rng(seed)
     n = nsb * 128
@@ -270,11 +276,16 @@ def _clustered_qp(seed=0, nsb=16, n_pairs=20):
 def test_sparse_mode_auto_picks_bsr_for_clustered(monkeypatch):
     """Block-clustered public-API problems must auto-route to the BSR
     operator (the TPU replacement for cuSPARSE SpMV on clustered patterns,
-    reference CMakeLists.txt:53-57) and solve to the dense-mode answer."""
+    reference CMakeLists.txt:53-57) and reach a KKT-verified optimum
+    (n=4096: a dense comparator would be too slow on CI, so optimality is
+    certified directly from the returned solution)."""
     monkeypatch.delenv('OSQP_TPU_SPARSE_FORMAT', raising=False)
     P, q, A, l, u = _clustered_qp(seed=5)
-    eps = solve_eps(1e-6)
-    common = dict(eps_abs=eps, eps_rel=eps, polishing=False, verbose=False)
+    eps = solve_eps(1e-5, f32=1e-4)
+    # classic residual termination (no duality-gap early exit) so the
+    # direct stationarity certificate below is the criterion actually met
+    common = dict(eps_abs=eps, eps_rel=eps, polishing=False, verbose=False,
+                  check_dualgap=False)
     s = osqp_tpu.OSQP(algebra='jax', sparse=True)
     s.setup(P=P, q=q, A=A, l=l, u=u, **common)
     assert s._solver._sparse_fmt_P == 'bsr', s._solver._sparse_fmt_P
@@ -282,11 +293,12 @@ def test_sparse_mode_auto_picks_bsr_for_clustered(monkeypatch):
     r = s.solve()
     assert r.info.status == 'solved'
 
-    ref = osqp_tpu.OSQP()
-    ref.setup(P=P, q=q, A=A, l=l, u=u, **common)
-    r_ref = ref.solve()
-    rt, at = (2e-3, 2e-3) if eps > 1e-6 else (1e-4, 1e-4)
-    np.testing.assert_allclose(r.x, r_ref.x, rtol=rt, atol=at)
+    # direct KKT certificate on the ORIGINAL data
+    tol = 50 * eps
+    assert (A @ r.x <= u + tol).all() and (A @ r.x >= l - tol).all()
+    station = np.abs(P @ r.x + q + A.T @ r.y).max()
+    scale = max(np.abs(q).max(), np.abs(P @ r.x).max(), np.abs(A.T @ r.y).max(), 1.0)
+    assert station <= 100 * eps * scale, (station, scale)
 
 
 @pytest.mark.parametrize('fmt', ['dia', 'ell', 'bsr', 'dense'])
