@@ -94,14 +94,14 @@ def _OSQP_Fn(P_idx, P_shape, A_idx, A_shape, eps_rel, eps_abs, verbose, max_iter
             assert A_val_b.size(1) == len(A_idx[0]), 'Unexpected size of A'
             assert P_val_b.size(1) == len(P_idx[0]), 'Unexpected size of P'
 
-            # densify the batch
+            # densify the batch (vectorized scatter: the pattern is shared,
+            # so one fancy-index assignment replaces B csc_matrix builds)
             P_np = np.zeros((n_batch, n, n))
             A_np = np.zeros((n_batch, m, n))
             Pv = to_numpy(P_val_b)
             Av = to_numpy(A_val_b)
-            for i in range(n_batch):
-                P_np[i] = spa.csc_matrix((Pv[i], P_idx), shape=P_shape).toarray()
-                A_np[i] = spa.csc_matrix((Av[i], A_idx), shape=A_shape).toarray()
+            np.add.at(P_np, (slice(None), P_idx[0], P_idx[1]), Pv)
+            np.add.at(A_np, (slice(None), A_idx[0], A_idx[1]), Av)
             # symmetrize triu-style input the same way the solver does
             P_sym = np.triu(P_np) + np.transpose(np.triu(P_np, 1), (0, 2, 1))
             q_np = to_numpy(q_val_b)
