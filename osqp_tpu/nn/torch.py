@@ -9,14 +9,14 @@ returning the batch of primal solutions).
 Where the reference fans out per-instance C solvers over a joblib thread pool
 (ref nn/torch.py:200-217), this implementation stacks the batch into dense
 arrays and solves every instance simultaneously with the vmapped TPU ADMM
-core; the backward pass evaluates the adjoint KKT systems per instance
-(osqp_tpu/solver/derivatives.py).
+core; the backward pass runs the whole batch's masked adjoint KKT systems
+as one vmapped device computation (shared with the JAX layer,
+osqp_tpu/nn/layer.py::_adjoint_system).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import scipy.sparse as spa
 
 import torch
 from torch.nn import Module
@@ -79,7 +79,7 @@ def _OSQP_Fn(P_idx, P_shape, A_idx, A_shape, eps_rel, eps_abs, verbose, max_iter
             """Solve a batch of QPs (see class docstring)."""
             params = [P_val, q_val, A_val, l_val, u_val]
             for p in params:
-                assert p.ndimension() <= 2, 'Unexpected number of dimensions'
+                assert p.ndimension() <= 2, 'parameters must be vectors or batches of vectors'
             batch_mode = any(t.ndimension() > 1 for t in params)
             n_batch = max(t.size(0) if t.ndimension() == 2 else 1 for t in params) if batch_mode else 1
 
@@ -91,8 +91,8 @@ def _OSQP_Fn(P_idx, P_shape, A_idx, A_shape, eps_rel, eps_abs, verbose, max_iter
                 for p in params
             ]
             P_val_b, q_val_b, A_val_b, l_val_b, u_val_b = params
-            assert A_val_b.size(1) == len(A_idx[0]), 'Unexpected size of A'
-            assert P_val_b.size(1) == len(P_idx[0]), 'Unexpected size of P'
+            assert A_val_b.size(1) == len(A_idx[0]), 'A_val length must match the A_idx pattern'
+            assert P_val_b.size(1) == len(P_idx[0]), 'P_val length must match the P_idx pattern'
 
             # densify the batch (vectorized scatter: the pattern is shared,
             # so one fancy-index assignment replaces B csc_matrix builds)
@@ -133,42 +133,46 @@ def _OSQP_Fn(P_idx, P_shape, A_idx, A_shape, eps_rel, eps_abs, verbose, max_iter
 
         @staticmethod
         def backward(ctx, dl_dx_val):
-            from ..solver.derivatives import adjoint_derivative
+            # The whole batch's adjoint KKT systems run as ONE vmapped
+            # device computation (the same masked adjoint the JAX layer
+            # uses) instead of B sequential scipy factorizations — the
+            # reference loops per instance over joblib threads instead
+            # (ref nn/torch.py:200-217).
+            import jax
+            import jax.numpy as jnp
+
+            from .layer import _adjoint_system
 
             dtype = dl_dx_val.dtype
             device = dl_dx_val.device
             batch_mode = dl_dx_val.ndimension() == 2
             if not batch_mode:
                 dl_dx_val = dl_dx_val.unsqueeze(0)
-            n_batch = dl_dx_val.size(0)
             dl_dx = to_numpy(dl_dx_val)
 
-            nnz_P = len(P_idx[0])
-            nnz_A = len(A_idx[0])
-            dP = np.zeros((n_batch, nnz_P))
-            dq = np.zeros((n_batch, n))
-            dA = np.zeros((n_batch, nnz_A))
-            dl = np.zeros((n_batch, m))
-            du = np.zeros((n_batch, m))
+            dt = _solver_dtype()
+            delta = jnp.asarray(1e-6 if dt == jnp.float32 else 1e-9, dt)
+            f = lambda v: jnp.asarray(v, dt)
 
-            for i in range(n_batch):
-                d = adjoint_derivative(
-                    spa.csc_matrix(ctx.P_np[i]),
-                    None,
-                    spa.csc_matrix(ctx.A_np[i]),
-                    ctx.l_np[i],
-                    ctx.u_np[i],
-                    ctx.sol_x[i],
-                    ctx.sol_y[i],
-                    dx=dl_dx[i],
-                    dy=None,
-                )
-                dq[i] = d['dq']
-                dl[i] = d['dl']
-                du[i] = d['du']
-                dP_full = d['dP'] + d['dP'].T - np.diag(np.diag(d['dP']))
-                dP[i] = dP_full[P_idx[0], P_idx[1]]
-                dA[i] = d['dA'][A_idx[0], A_idx[1]]
+            def one(P1, A1, l1, u1, x1, y1, dx1):
+                return _adjoint_system(P1, A1, l1, u1, x1, y1, dx1,
+                                       jnp.zeros_like(y1), delta, 8)
+
+            dPs, dqs, dAs, dls, dus = jax.vmap(one)(
+                f(ctx.P_np), f(ctx.A_np), f(ctx.l_np), f(ctx.u_np),
+                f(ctx.sol_x), f(ctx.sol_y), f(dl_dx),
+            )
+            dPs = np.asarray(dPs, np.float64)
+            # triu-gradient convention: an off-diagonal pattern entry
+            # receives both symmetric halves of the full dP
+            dP_full = dPs + dPs.transpose(0, 2, 1)
+            ar = np.arange(n)
+            dP_full[:, ar, ar] -= dPs[:, ar, ar]
+            dP = dP_full[:, P_idx[0], P_idx[1]]
+            dA = np.asarray(dAs, np.float64)[:, A_idx[0], A_idx[1]]
+            dq = np.asarray(dqs, np.float64)
+            dl = np.asarray(dls, np.float64)
+            du = np.asarray(dus, np.float64)
 
             grads = [
                 torch.from_numpy(g).to(dtype=dtype, device=device)

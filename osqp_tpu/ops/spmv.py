@@ -298,13 +298,31 @@ def _bsr_matvec(blocks, bcols, v, out_rows, n_cols):
     blocks: (nbr, Kb, R, C), bcols: (nbr, Kb) int32 (block-column ids,
     padding blocks are all-zero and point at block-column 0 — a no-op).
     Returns the unpadded (out_rows,) result.
+
+    ``OSQP_TPU_BSR_MV`` selects the lowering (chip A/B in
+    tools/bsr_mv_ab.py): 'einsum' (batched dot), 'reduce' (broadcast
+    multiply + sum — pure VPU streaming), or 'onehot' (segment gather
+    expressed as a one-hot MXU matmul — no gather op at all; used
+    automatically when the one-hot table stays small).
     """
     nbr, Kb, R, C = blocks.shape
     nbc = -(-n_cols // C)
     vp = jnp.zeros((nbc * C,), v.dtype).at[:n_cols].set(v)
     vb = vp.reshape(nbc, C)
-    vg = jnp.take(vb, bcols.reshape(-1), axis=0).reshape(nbr, Kb, C)
-    out = jnp.einsum('bkrc,bkc->br', blocks, vg)
+    variant = os.environ.get('OSQP_TPU_BSR_MV', 'auto')
+    if variant == 'auto':
+        # one-hot table (nbr*Kb, nbc) costs nbr*Kb*nbc*C FLOPs on the MXU —
+        # cheap next to the block stream while nbc is moderate
+        variant = 'onehot' if nbc <= 1024 else 'einsum'
+    if variant == 'onehot':
+        onehot = jax.nn.one_hot(bcols.reshape(-1), nbc, dtype=v.dtype)
+        vg = (onehot @ vb).reshape(nbr, Kb, C)
+    else:
+        vg = jnp.take(vb, bcols.reshape(-1), axis=0).reshape(nbr, Kb, C)
+    if variant == 'reduce':
+        out = jnp.sum(blocks * vg[:, :, None, :], axis=(1, 3))
+    else:
+        out = jnp.einsum('bkrc,bkc->br', blocks, vg)
     return out.reshape(-1)[:out_rows]
 
 
