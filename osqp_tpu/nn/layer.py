@@ -95,7 +95,10 @@ def make_qp_layer(settings: core.Settings | None = None, dtype=jnp.float32,
     if settings is None:
         settings = default_core_settings(dtype, **setting_overrides)
     if delta is None:
-        delta = 1e-6 if dtype == jnp.float32 else 1e-9
+        # f32: the Schur matrix P + dI + A'A/d carries ~1/d^2 conditioning;
+        # d=1e-6 NaNs the f32 Cholesky (chip ladder r5) while 1e-4 matches
+        # finite differences to 4 decimals after refinement
+        delta = 1e-4 if dtype == jnp.float32 else 1e-9
 
     @jax.custom_vjp
     def layer(P, q, A, l, u):

@@ -151,7 +151,8 @@ def _OSQP_Fn(P_idx, P_shape, A_idx, A_shape, eps_rel, eps_abs, verbose, max_iter
             dl_dx = to_numpy(dl_dx_val)
 
             dt = _solver_dtype()
-            delta = jnp.asarray(1e-6 if dt == jnp.float32 else 1e-9, dt)
+            # same f32 delta floor as make_qp_layer (1e-6 NaNs f32 Cholesky)
+            delta = jnp.asarray(1e-4 if dt == jnp.float32 else 1e-9, dt)
             f = lambda v: jnp.asarray(v, dt)
 
             def one(P1, A1, l1, u1, x1, y1, dx1):

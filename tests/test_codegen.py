@@ -263,7 +263,10 @@ def sparse_cg_module(tmp_path_factory):
     s0 = rng.random(n) + 0.1
     u = A @ x0 + s0
     l = u - 2 * s0
-    opts = dict(verbose=False, eps_abs=1e-5, eps_rel=1e-5)
+    from utils import solve_eps
+
+    eps = solve_eps(1e-5, f32=1e-4)  # live comparator runs f32 on the chip rows
+    opts = dict(verbose=False, eps_abs=eps, eps_rel=eps)
     model = osqp.OSQP(algebra='jax', sparse=True)
     model.setup(P=P, q=q, A=A, l=l, u=u, **opts)
 
@@ -297,7 +300,7 @@ def test_codegen_sparse_solve_and_updates(sparse_cg_module):
     x, y, status, niter, _ = mod.solve()
     assert status == 1
     ref = model.solve()
-    nptest.assert_allclose(x, ref.x, atol=5e-3)
+    nptest.assert_allclose(x, ref.x, atol=1e-2)
 
     # vector update
     mod.update_data_vec(q=q + 0.1)

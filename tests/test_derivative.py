@@ -37,8 +37,10 @@ def _setup_opts(algebra, eq=False):
         # residuals below ~1e-5 are unreachable at float32; polish (always
         # float64 host-side) recovers high-accuracy iterates for the adjoint.
         # Equality rows take rho*1e3, which amplifies the f32 noise floor —
-        # those cases need the looser (still polish-recovered) tolerance.
-        tol = 1e-5 if eq else 3e-6
+        # those cases need the ladder-standard tolerance to reach SOLVED
+        # (1e-5 left the r5 chip run at SOLVED_INACCURATE, which the
+        # derivative API — like the reference — refuses).
+        tol = 1e-4 if eq else 3e-6
         return dict(eps_abs=tol, eps_rel=tol, max_iter=200000,
                     polishing=True, verbose=False)
     return dict(eps_abs=eps_abs, eps_rel=eps_rel, max_iter=max_iter,
@@ -67,7 +69,9 @@ def get_grads(algebra, P, q, A, l, u, true_x, eq=False):
     model = osqp.OSQP(algebra=algebra)
     model.setup(P, q, A, l, u, **_setup_opts(algebra, eq))
     results = model.solve()
-    assert results.info.status_val == int(osqp.SolverStatus.OSQP_SOLVED)
+    assert results.info.status_val == int(osqp.SolverStatus.OSQP_SOLVED), (
+        results.info.status
+    )
     model.adjoint_derivative_compute(dx=results.x - true_x)
     dP, dA = model.adjoint_derivative_get_mat(as_dense=True, dP_as_triu=False)
     dq, dl, du = model.adjoint_derivative_get_vec()

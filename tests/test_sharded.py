@@ -30,6 +30,16 @@ import scipy.sparse as sparse
 _SLOW = os.environ.get('OSQP_TPU_SLOW_TESTS') == '1'
 
 
+@pytest.fixture(autouse=True)
+def _cpu_default_device():
+    """Pin eager ops to CPU: these tests target the virtual CPU mesh, but
+    in the TPU ladder process (OSQP_TPU_TEST_DEVICE=tpu) the default device
+    is the axon tunnel, where every eager setup op pays a ~50 ms roundtrip
+    (the round-5 ladder crawled at 2 tests/hour before this pin)."""
+    with jax.default_device(jax.devices('cpu')[0]):
+        yield
+
+
 def _mesh(shape, names):
     devs = jax.devices('cpu')
     need = int(np.prod(shape))
