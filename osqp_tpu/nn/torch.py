@@ -27,6 +27,31 @@ from torch.autograd import Function
 _LAYER_OPTS = ('P_idx', 'P_shape', 'A_idx', 'A_shape', 'eps_rel', 'eps_abs',
                'verbose', 'max_iter', 'algebra', 'solver_type')
 
+# jitted batched-adjoint executables, keyed by refine count (jax.jit
+# re-specializes per shape/dtype internally).  Without the jit, the eager
+# vmap dispatches the adjoint op-by-op — ~50 ms/op over a remote-device
+# tunnel.
+_ADJOINT_JIT = {}
+
+
+def _batched_adjoint(refine_iters):
+    if refine_iters not in _ADJOINT_JIT:
+        import jax
+        import jax.numpy as jnp
+
+        from .layer import _adjoint_system
+
+        @jax.jit
+        def f(P, A, l, u, x, y, dx, delta):
+            def one(P1, A1, l1, u1, x1, y1, dx1):
+                return _adjoint_system(P1, A1, l1, u1, x1, y1, dx1,
+                                       jnp.zeros_like(y1), delta, refine_iters)
+
+            return jax.vmap(one)(P, A, l, u, x, y, dx)
+
+        _ADJOINT_JIT[refine_iters] = f
+    return _ADJOINT_JIT[refine_iters]
+
 
 def to_numpy(t):
     """Detach a torch tensor to numpy; None passes through, empty -> empty."""
@@ -138,10 +163,7 @@ def _OSQP_Fn(P_idx, P_shape, A_idx, A_shape, eps_rel, eps_abs, verbose, max_iter
             # uses) instead of B sequential scipy factorizations — the
             # reference loops per instance over joblib threads instead
             # (ref nn/torch.py:200-217).
-            import jax
             import jax.numpy as jnp
-
-            from .layer import _adjoint_system
 
             dtype = dl_dx_val.dtype
             device = dl_dx_val.device
@@ -155,13 +177,9 @@ def _OSQP_Fn(P_idx, P_shape, A_idx, A_shape, eps_rel, eps_abs, verbose, max_iter
             delta = jnp.asarray(1e-4 if dt == jnp.float32 else 1e-9, dt)
             f = lambda v: jnp.asarray(v, dt)
 
-            def one(P1, A1, l1, u1, x1, y1, dx1):
-                return _adjoint_system(P1, A1, l1, u1, x1, y1, dx1,
-                                       jnp.zeros_like(y1), delta, 8)
-
-            dPs, dqs, dAs, dls, dus = jax.vmap(one)(
+            dPs, dqs, dAs, dls, dus = _batched_adjoint(8)(
                 f(ctx.P_np), f(ctx.A_np), f(ctx.l_np), f(ctx.u_np),
-                f(ctx.sol_x), f(ctx.sol_y), f(dl_dx),
+                f(ctx.sol_x), f(ctx.sol_y), f(dl_dx), delta,
             )
             dPs = np.asarray(dPs, np.float64)
             # triu-gradient convention: an off-diagonal pattern entry
