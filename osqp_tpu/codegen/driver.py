@@ -117,9 +117,35 @@ def export_workspace(solver):
         c=float(solver._scal.c),
         rho_vec=np.asarray(solver._rho.rho_vec, np.float64),
         settings=stg,
-        P_triu=sp.triu(solver._P_orig, format='csc'),
-        A_pattern=solver._A_orig.copy(),
+        # the EXACT pattern the live update path validates against —
+        # sp.triu(_P_orig) can silently drop explicit stored zeros
+        # (reserved update slots), desynchronizing the baked index maps
+        # from the user's data order
+        P_triu=solver._P_triu_pattern.copy(),
+        A_pattern=solver._A_pattern.copy(),
     )
+
+
+def _triu_to_full_pattern(P_triu):
+    """Full symmetric matrix from triu storage WITHOUT scipy's binary ops
+    (``T + T.T - diags`` silently prunes explicit stored zeros — the
+    reserved update slots — which would desynchronize the update maps)."""
+    C = P_triu.tocoo()
+    off = C.row != C.col
+    rows = np.concatenate([C.row, C.col[off]])
+    cols = np.concatenate([C.col, C.row[off]])
+    vals = np.concatenate([C.data, C.data[off]])
+    return sp.coo_matrix((vals, (rows, cols)), shape=P_triu.shape).tocsc()
+
+
+def _scale_pattern_csc(S, rowscale, colscale, mult=1.0):
+    """rowscale[i]*S[i,j]*colscale[j]*mult with the EXACT nnz pattern kept
+    (explicit zeros included — diags@S@diags matmuls may prune them, which
+    would desynchronize the update_data_mat index maps)."""
+    S = sp.csc_matrix(S, copy=True)
+    cols = np.repeat(np.arange(S.shape[1]), np.diff(S.indptr))
+    S.data = S.data * rowscale[S.indices] * colscale[cols] * mult
+    return S
 
 
 def _csr_pos_map(S):
@@ -163,6 +189,11 @@ def generate(model, folder, parameters='vectors', extension_name='emosqp',
     n, m = ws['n'], ws['m']
     stg = ws['settings']
 
+    if embedded_algebra not in ('auto', 'dense', 'sparse'):
+        raise ValueError(
+            f"embedded_algebra must be 'auto', 'dense' or 'sparse', "
+            f"got {embedded_algebra!r}"
+        )
     if embedded_algebra == 'auto':
         embedded_algebra = (
             'sparse' if (ws.get('P_sp') is not None or n * n + m * n > 200_000)
@@ -185,12 +216,15 @@ def generate(model, folder, parameters='vectors', extension_name='emosqp',
     A_cols = np.repeat(np.arange(n), np.diff(A_csc.indptr))
 
     if sparse_mode:
-        # scaled CSR operands (full symmetric P, A, A')
-        if ws.get('P_sp') is not None:
-            P_csr, A_csr = ws['P_sp'].tocsr(), ws['A_sp'].tocsr()
-        else:
-            P_csr = sp.csr_matrix(ws['P'])
-            A_csr = sp.csr_matrix(ws['A'])
+        # scaled CSR operands (full symmetric P, A, A') built from the
+        # ORIGINAL pattern matrices so explicit stored zeros survive (a
+        # csr_matrix(dense) rebuild would drop them and KeyError the
+        # update_data_mat index maps below)
+        P_full_pat = _triu_to_full_pattern(P_triu)
+        D, E, c = ws['D'], ws['E'], ws['c']
+        P_csr = _scale_pattern_csc(P_full_pat, D, D, c).tocsr()
+        A_csr = (_scale_pattern_csc(A_csc, E, D).tocsr() if m
+                 else sp.csr_matrix((0, n)))
         P_csr.sort_indices()
         A_csr.sort_indices()
         At_csr = A_csr.T.tocsr()
@@ -225,7 +259,9 @@ def generate(model, folder, parameters='vectors', extension_name='emosqp',
         '@PRINTING@': '1' if printing_enable else '0',
         '@INTERRUPT@': '1' if interrupt_enable else '0',
         '@DERIVATIVES@': '1' if derivatives_enable else '0',
-        '@CG_TOL@': '1e-7' if use_float else '1e-12',
+        # f32: 1e-7 sits AT the f32 rounding floor and stagnates CG into
+        # its full iteration cap; 2e-6 is reliably reachable
+        '@CG_TOL@': '2e-6' if use_float else '1e-12',
         '@CG_MAX_ITER@': str(max(2 * n, 100)),
     }
     if sparse_mode:

@@ -151,7 +151,6 @@ def _OSQP_Fn(P_idx, P_shape, A_idx, A_shape, eps_rel, eps_abs, verbose, max_iter
             ctx.sol_y = res.y
             ctx.P_np, ctx.A_np = P_sym, A_np
             ctx.l_np, ctx.u_np = l_np, u_np
-            ctx.n_batch, ctx.batch_mode = n_batch, batch_mode
 
             x_torch = torch.from_numpy(res.x).to(dtype=dtype, device=device)
             return x_torch if batch_mode else x_torch.squeeze(0)

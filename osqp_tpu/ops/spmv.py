@@ -37,8 +37,11 @@ subset of the BCOO surface the solver core uses, plus ``diag()`` and
 ``gram_diag(rho)`` (diag(A' diag(rho) A)) needed by the CG preconditioner.
 
 Selection heuristics and storage-waste bounds live in ``choose_format`` /
-``from_scipy``; ``OSQP_TPU_SPARSE_FORMAT`` ∈ {auto, bcoo, ell, dia} forces a
-format globally.
+``from_scipy``; ``OSQP_TPU_SPARSE_FORMAT`` ∈ {auto, dia, bsr, dense, ell,
+bcoo} forces a format globally.  The auto ladder (cheapest matvec first):
+DIA (banded) → BSR (clustered, if it saves ≥4× the bytes of dense) → ELL
+(if it saves ≥320× — ELL gathers run ~3 orders slower per byte than dense
+streams) → dense (within ``OSQP_TPU_DENSE_SPMV_BYTES``) → ELL → BCOO.
 """
 
 from __future__ import annotations
@@ -457,6 +460,11 @@ _BSR_WASTE_LIMIT = 24.0
 # when both fit, BSR only wins wall-clock if it saves at least this factor
 # in stored bytes.
 _BSR_VS_DENSE = 4.0
+# ELL's per-element gathers run ~640x slower per stored byte than dense
+# streaming (1.1 vs 699 GB/s measured), so ELL beats dense only when it
+# saves at least this factor (conservative half of the measured ratio) —
+# i.e. for VERY sparse even-occupancy patterns.
+_ELL_VS_DENSE = 320.0
 
 
 def _dense_budget_bytes():
@@ -474,12 +482,15 @@ def _dia_cost(S):
 
 
 def _ell_cost(S):
+    """(padding multiple, stored bytes) of the padded-row packing (data +
+    int32 columns, both orientations ~2x — counted once per use here)."""
     R = S.tocsr()
     if R.nnz == 0:
-        return np.inf
+        return np.inf, 0
     counts = np.diff(R.indptr)
     kmax = int(counts.max()) if counts.size else 0
-    return max(kmax, 1) * S.shape[0] / R.nnz
+    stored = max(kmax, 1) * S.shape[0]
+    return stored / R.nnz, stored * 8
 
 
 def _bsr_cost(S, R=_BSR_R, C=_BSR_C):
@@ -524,9 +535,15 @@ def choose_format(S) -> str:
         bsr_bytes * _BSR_VS_DENSE < dense_bytes or not dense_ok
     ):
         return 'bsr'
+    ell_waste, ell_bytes = _ell_cost(S)
+    ell_ok = ell_waste <= _WASTE_LIMIT
+    # ultra-sparse even-occupancy patterns: the gather's byte savings beat
+    # dense streaming's per-byte speed advantage
+    if ell_ok and ell_bytes * _ELL_VS_DENSE < dense_bytes:
+        return 'ell'
     if dense_ok:
         return 'dense'
-    if _ell_cost(S) <= _WASTE_LIMIT:
+    if ell_ok:
         return 'ell'
     return 'bcoo'
 

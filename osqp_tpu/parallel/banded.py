@@ -91,6 +91,7 @@ class BandedQPData(NamedTuple):
     # diag_M / rho_vec (defaults keep older pickles/constructions working)
     sigma: float = 1e-6
     rho0: float = 0.1
+    rho_is_vec: bool = True
 
 
 def _pad_square(S, n_rows, n_cols, N, extra_diag=0.0):
@@ -187,6 +188,7 @@ def banded_qp_setup(P_sp, q, A_sp, l, u, J, *, scaling=10, sigma=1e-6,
         c=f(c), cinv=f(1.0 / c),
         offsets_p=offs_p, offsets_a=offs_a, offsets_at=offs_at,
         n=n, m=m, L=L, sigma=float(sigma), rho0=rho0,
+        rho_is_vec=bool(rho_is_vec),
     )
 
 
@@ -660,7 +662,11 @@ def banded_qp_update_vec(data: BandedQPData, q=None, l=None, u=None) -> BandedQP
     eq = (~loose) & (u_new - l_new < _RHO_TOL)
     types = np.where(loose, -1, np.where(eq, 1, 0)).astype(np.int8)
     rho0 = float(data.rho0)
-    rho_vec = np.where(loose, _RHO_MIN, np.where(eq, _RHO_EQ_FACTOR * rho0, rho0))
+    if data.rho_is_vec:
+        rho_vec = np.where(loose, _RHO_MIN, np.where(eq, _RHO_EQ_FACTOR * rho0, rho0))
+    else:
+        # scalar-rho setups keep the uniform vector (same rule as setup)
+        rho_vec = np.full(m, rho0)
     rho_pad = padv(rho_vec, m, _RHO_MIN)
 
     # preconditioner diag: swap the gram(rho) term for the new rho
@@ -721,9 +727,15 @@ def banded_mpc_rollout(mesh: Mesh, data: BandedQPData, q_seq, *, x0=None,
             data.D, data.Dinv, data.E, data.Einv, data.c, data.cinv,
             x, z, y,
         )
-        x_s = jnp.nan_to_num(res.x * data.Dinv)       # unscaled -> scaled
-        y_s = jnp.nan_to_num(res.y * data.c * data.Einv)
-        return (x_s, res.z, y_s), (res.x, res.iters, res.status, res.obj_val)
+        # cold-restart carries after a failed step: res.x is NaN exactly on
+        # infeasible terminations, and the diverged z/y iterates (finite
+        # garbage or inf) must not poison step t+1 either
+        cold = jnp.isnan(res.x).any()
+        clean = lambda a: jnp.where(cold | ~jnp.isfinite(a), 0.0, a)
+        x_s = clean(res.x * data.Dinv)                # unscaled -> scaled
+        y_s = clean(res.y * data.c * data.Einv)
+        z_s = clean(res.z)
+        return (x_s, z_s, y_s), (res.x, res.iters, res.status, res.obj_val)
 
     init = (_pad_init(data, x0, n), _pad_init(data, z0, m), _pad_init(data, y0, m))
     (xc, zc, yc), (xs, iters, statuses, objs) = jax.lax.scan(step, init, q_scaled)

@@ -85,6 +85,7 @@ class BigQPData(NamedTuple):
     # diag_M / rho_vec (defaults keep older constructions working)
     sigma: float = 1e-6
     rho0: float = 0.1
+    rho_is_vec: bool = True
 
 
 class BigQPResult(NamedTuple):
@@ -175,6 +176,7 @@ def big_qp_setup(P_sp, q, A_sp, l, u, J, *, scaling=10, sigma=1e-6, rho=0.1,
         E=f(padm(E, 1.0)), Einv=f(padm(1.0 / E, 1.0)),
         c=f(c), cinv=f(1.0 / c),
         n=n, m=m, n_loc=n_loc, m_loc=m_loc, sigma=float(sigma), rho0=rho0,
+        rho_is_vec=bool(rho_is_vec),
     )
 
 
@@ -648,7 +650,11 @@ def big_qp_update_vec(data: BigQPData, q=None, l=None, u=None) -> BigQPData:
     eq = (~loose) & (u_new - l_new < _RHO_TOL)
     types = np.where(loose, -1, np.where(eq, 1, 0)).astype(np.int8)
     rho0 = float(data.rho0)
-    rho_vec = np.where(loose, _RHO_MIN, np.where(eq, _RHO_EQ_FACTOR * rho0, rho0))
+    if data.rho_is_vec:
+        rho_vec = np.where(loose, _RHO_MIN, np.where(eq, _RHO_EQ_FACTOR * rho0, rho0))
+    else:
+        # scalar-rho setups keep the uniform vector (same rule as setup)
+        rho_vec = np.full(m, rho0)
     rho_pad = padm(rho_vec, _RHO_MIN)
 
     diag_M = (np.asarray(data.diag_M, np.float64)
@@ -701,9 +707,15 @@ def big_qp_mpc_rollout(mesh: Mesh, data: BigQPData, q_seq, *, x0=None,
             data.diag_M, data.D, data.Dinv, data.E, data.Einv,
             data.c, data.cinv, x, z, y,
         )
-        x_s = jnp.nan_to_num(res.x * data.Dinv)       # unscaled -> scaled
-        y_s = jnp.nan_to_num(res.y * data.c * data.Einv)
-        return (x_s, res.z, y_s), (res.x, res.iters, res.status, res.obj_val)
+        # cold-restart carries after a failed step: res.x is NaN exactly on
+        # infeasible terminations, and the diverged z/y iterates (finite
+        # garbage or inf) must not poison step t+1 either
+        cold = jnp.isnan(res.x).any()
+        clean = lambda a: jnp.where(cold | ~jnp.isfinite(a), 0.0, a)
+        x_s = clean(res.x * data.Dinv)                # unscaled -> scaled
+        y_s = clean(res.y * data.c * data.Einv)
+        z_s = clean(res.z)
+        return (x_s, z_s, y_s), (res.x, res.iters, res.status, res.obj_val)
 
     x_i, z_i, y_i = _bigqp_inits(mesh, data, x0, z0, y0, axis)
     (xc, zc, yc), (xs, iters, statuses, objs) = jax.lax.scan(

@@ -319,3 +319,44 @@ def test_codegen_sparse_solve_and_updates(sparse_cg_module):
     # restore for other tests
     mod.update_data_vec(q=q)
     mod.update_data_mat(P_x=sparse.triu(P, format='csc').data)
+
+
+@pytest.mark.parametrize('embedded_algebra', ['dense', 'sparse'])
+def test_codegen_explicit_zero_pattern_slots(tmp_path, embedded_algebra):
+    """Explicit stored zeros (slots reserved for later update_data_mat)
+    must survive into the baked pattern/index maps: scipy binary ops prune
+    them, which desynchronized the maps from the user's data order
+    (round-5 review finding; both emitters affected)."""
+    import sys as _sys
+
+    n = 6
+    rows = [0, 1, 2, 3, 4, 5, 0, 1, 2, 3, 4, 1, 2, 3, 4, 5, 0, 3]
+    cols = [0, 1, 2, 3, 4, 5, 1, 2, 3, 4, 5, 0, 1, 2, 3, 4, 3, 0]
+    vals = [2.0] * 6 + [-0.5] * 5 + [-0.5] * 5 + [0.0, 0.0]
+    P = sparse.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsc()
+    A = sparse.eye(n, format='csc')
+    q = np.arange(1.0, n + 1)
+    l, u = -np.ones(n), np.ones(n)
+    model = osqp.OSQP(algebra='jax')
+    model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
+                eps_abs=1e-8, eps_rel=1e-8)
+    ext = f'zero_slot_{embedded_algebra}'
+    folder = model.codegen(str(tmp_path), parameters='matrices',
+                           extension_name=ext, force_rewrite=True,
+                           compile=True, embedded_algebra=embedded_algebra)
+    _sys.path.insert(0, folder)
+    try:
+        mod = __import__(ext)
+        Ptriu = sparse.triu(P, format='csc')
+        Px = Ptriu.data.copy()
+        ct = np.repeat(np.arange(n), np.diff(Ptriu.indptr))
+        slot = np.where((Ptriu.indices == 0) & (ct == 3))[0][0]
+        Px[slot] = 0.3  # fill the reserved slot
+        mod.update_data_mat(P_x=Px)
+        x, _, status, _, _ = mod.solve()
+        model.update(Px=Px)
+        ref = model.solve()
+        assert status == 1
+        nptest.assert_allclose(x, ref.x, atol=1e-5)
+    finally:
+        _sys.path.remove(folder)
