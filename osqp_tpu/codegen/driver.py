@@ -28,6 +28,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from . import ctemplates
+from ..utils.patterns import triu_to_full
 
 
 def _adaptive_interval(stg):
@@ -80,7 +81,7 @@ def export_workspace(solver):
             c=float(ws['c']),
             rho_vec=np.asarray(ws['rho_vec']),
             settings=stg,
-            P_triu=sp.triu(sp.csc_matrix(ws['P_orig']), format='csc'),
+            P_triu=ws['P_triu_pattern'].copy(),
             A_pattern=sp.csc_matrix(ws['A_orig']),
         )
     # jax backend
@@ -124,18 +125,6 @@ def export_workspace(solver):
         P_triu=solver._P_triu_pattern.copy(),
         A_pattern=solver._A_pattern.copy(),
     )
-
-
-def _triu_to_full_pattern(P_triu):
-    """Full symmetric matrix from triu storage WITHOUT scipy's binary ops
-    (``T + T.T - diags`` silently prunes explicit stored zeros — the
-    reserved update slots — which would desynchronize the update maps)."""
-    C = P_triu.tocoo()
-    off = C.row != C.col
-    rows = np.concatenate([C.row, C.col[off]])
-    cols = np.concatenate([C.col, C.row[off]])
-    vals = np.concatenate([C.data, C.data[off]])
-    return sp.coo_matrix((vals, (rows, cols)), shape=P_triu.shape).tocsc()
 
 
 def _scale_pattern_csc(S, rowscale, colscale, mult=1.0):
@@ -220,7 +209,7 @@ def generate(model, folder, parameters='vectors', extension_name='emosqp',
         # ORIGINAL pattern matrices so explicit stored zeros survive (a
         # csr_matrix(dense) rebuild would drop them and KeyError the
         # update_data_mat index maps below)
-        P_full_pat = _triu_to_full_pattern(P_triu)
+        P_full_pat = triu_to_full(P_triu)
         D, E, c = ws['D'], ws['E'], ws['c']
         P_csr = _scale_pattern_csc(P_full_pat, D, D, c).tocsr()
         A_csr = (_scale_pattern_csc(A_csc, E, D).tocsr() if m

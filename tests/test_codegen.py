@@ -321,8 +321,10 @@ def test_codegen_sparse_solve_and_updates(sparse_cg_module):
     mod.update_data_mat(P_x=sparse.triu(P, format='csc').data)
 
 
-@pytest.mark.parametrize('embedded_algebra', ['dense', 'sparse'])
-def test_codegen_explicit_zero_pattern_slots(tmp_path, embedded_algebra):
+@pytest.mark.parametrize('algebra,embedded_algebra', [
+    ('jax', 'dense'), ('jax', 'sparse'), ('numpy', 'dense'),
+])
+def test_codegen_explicit_zero_pattern_slots(tmp_path, algebra, embedded_algebra):
     """Explicit stored zeros (slots reserved for later update_data_mat)
     must survive into the baked pattern/index maps: scipy binary ops prune
     them, which desynchronized the maps from the user's data order
@@ -337,10 +339,10 @@ def test_codegen_explicit_zero_pattern_slots(tmp_path, embedded_algebra):
     A = sparse.eye(n, format='csc')
     q = np.arange(1.0, n + 1)
     l, u = -np.ones(n), np.ones(n)
-    model = osqp.OSQP(algebra='jax')
+    model = osqp.OSQP(algebra=algebra)
     model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
                 eps_abs=1e-8, eps_rel=1e-8)
-    ext = f'zero_slot_{embedded_algebra}'
+    ext = f'zero_slot_{algebra}_{embedded_algebra}'
     folder = model.codegen(str(tmp_path), parameters='matrices',
                            extension_name=ext, force_rewrite=True,
                            compile=True, embedded_algebra=embedded_algebra)
@@ -358,5 +360,35 @@ def test_codegen_explicit_zero_pattern_slots(tmp_path, embedded_algebra):
         ref = model.solve()
         assert status == 1
         nptest.assert_allclose(x, ref.x, atol=1e-5)
+    finally:
+        _sys.path.remove(folder)
+
+
+def test_codegen_sparse_use_float_compiles_and_solves(tmp_path):
+    """float32 sparse emitter: CG tolerance above the f32 floor + the
+    stagnation patience window must still converge the embedded solve."""
+    import sys as _sys
+
+    n = 300
+    rng = np.random.default_rng(2)
+    P = sparse.diags([np.full(n, 2.0), np.full(n - 1, -0.6),
+                      np.full(n - 1, -0.6)], [0, 1, -1]).tocsc()
+    A = sparse.eye(n, format='csc')
+    q = rng.standard_normal(n)
+    l, u = -np.ones(n), np.ones(n)
+    model = osqp.OSQP(algebra='jax')
+    model.setup(P=P, q=q, A=A, l=l, u=u, verbose=False,
+                eps_abs=1e-4, eps_rel=1e-4)
+    folder = model.codegen(str(tmp_path), extension_name='emf32s',
+                           force_rewrite=True, compile=True, use_float=True,
+                           embedded_algebra='sparse')
+    _sys.path.insert(0, folder)
+    try:
+        mod = __import__('emf32s')
+        x, _, status, niter, _ = mod.solve()
+        assert status in (1, 2), status
+        ref = model.solve()
+        nptest.assert_allclose(x, ref.x, atol=1e-2)
+        assert niter < 4000  # not stuck at the CG/ADMM caps
     finally:
         _sys.path.remove(folder)
