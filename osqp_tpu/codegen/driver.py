@@ -88,17 +88,10 @@ def export_workspace(solver):
     stg = solver._stg
     if getattr(solver, '_is_sparse', False):
         # sparse-mode solvers hold P/A as TPU operators (DIA/ELL/BSR/
-        # dense/BCOO); rebuild the SCALED scipy matrices from the cached
-        # originals + Ruiz scalers instead of densifying the operator
-        D = np.asarray(solver._scal.D, np.float64)
-        E = np.asarray(solver._scal.E, np.float64)
-        c = float(solver._scal.c)
-        P_sp = (c * (sp.diags(D) @ solver._P_orig @ sp.diags(D))).tocsr()
-        A_sp = ((sp.diags(E) @ solver._A_orig @ sp.diags(D)).tocsr()
-                if solver.m else sp.csr_matrix((0, solver.n)))
+        # dense/BCOO); generate() rebuilds the scaled CSR operands from
+        # the pattern matrices below, so only the flag is exported
         dense = None
     else:
-        P_sp = A_sp = None
         dense = dict(
             P=np.asarray(solver._data.P, np.float64),
             A=np.asarray(solver._data.A, np.float64),
@@ -108,8 +101,7 @@ def export_workspace(solver):
         m=solver.m,
         P=None if dense is None else dense['P'],
         A=None if dense is None else dense['A'],
-        P_sp=P_sp,
-        A_sp=A_sp,
+        is_sparse=dense is None,
         q=np.asarray(solver._data.q, np.float64),
         l=np.asarray(solver._data.l, np.float64),
         u=np.asarray(solver._data.u, np.float64),
@@ -185,7 +177,7 @@ def generate(model, folder, parameters='vectors', extension_name='emosqp',
         )
     if embedded_algebra == 'auto':
         embedded_algebra = (
-            'sparse' if (ws.get('P_sp') is not None or n * n + m * n > 200_000)
+            'sparse' if (ws.get('is_sparse') or n * n + m * n > 200_000)
             else 'dense'
         )
     sparse_mode = embedded_algebra == 'sparse'
@@ -251,6 +243,7 @@ def generate(model, folder, parameters='vectors', extension_name='emosqp',
         # f32: 1e-7 sits AT the f32 rounding floor and stagnates CG into
         # its full iteration cap; 2e-6 is reliably reachable
         '@CG_TOL@': '2e-6' if use_float else '1e-12',
+        '@CG_STAGNATION@': '1' if use_float else '0',
         '@CG_MAX_ITER@': str(max(2 * n, 100)),
     }
     if sparse_mode:

@@ -707,11 +707,17 @@ def big_qp_mpc_rollout(mesh: Mesh, data: BigQPData, q_seq, *, x0=None,
             data.diag_M, data.D, data.Dinv, data.E, data.Einv,
             data.c, data.cinv, x, z, y,
         )
-        # cold-restart carries after a failed step: res.x is NaN exactly on
-        # infeasible terminations, and the diverged z/y iterates (finite
-        # garbage or inf) must not poison step t+1 either
-        cold = jnp.isnan(res.x).any()
-        clean = lambda a: jnp.where(cold | ~jnp.isfinite(a), 0.0, a)
+        # cold-restart carries after a failed step: infeasible statuses
+        # (certificate found) restart cold, and any non-finite or blown-up
+        # (>1e30) element is zeroed so diverged-but-finite garbage cannot
+        # poison step t+1; MAX_ITER partial iterates stay — they are
+        # legitimate warm continuation state
+        cold = jnp.isnan(res.x).any() | jnp.isin(
+            res.status, jnp.array([3, 4, 5, 6], res.status.dtype)
+        )
+        clean = lambda a: jnp.where(
+            cold | ~jnp.isfinite(a) | (jnp.abs(a) > 1e30), 0.0, a
+        )
         x_s = clean(res.x * data.Dinv)                # unscaled -> scaled
         y_s = clean(res.y * data.c * data.Einv)
         z_s = clean(res.z)
