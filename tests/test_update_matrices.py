@@ -97,3 +97,30 @@ def test_update_partial_idx(self):
     self.model.update(Px=Px[:half], Px_idx=idx[:half])
     self.model.update(Px=Px[half:], Px_idx=idx[half:])
     _check(self, self.model.solve(), 'test_update_P')
+
+
+def test_triu_to_full_preserves_explicit_zeros():
+    """utils/patterns.triu_to_full must keep explicit stored zeros
+    (reserved update slots) that scipy's `T + T.T - diags` construction
+    silently prunes — the root cause of the round-5 pattern-desync bug."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from osqp_tpu.utils.patterns import triu_to_full
+
+    T = sp.coo_matrix(
+        ([1.0, 2.0, 0.0, 0.5], ([0, 1, 0, 0], [0, 1, 2, 1])), shape=(3, 3)
+    ).tocsc()
+    F = triu_to_full(T)
+    # pattern: 4 triu entries + 2 mirrored off-diagonals (incl. the zero)
+    assert F.nnz == 6, F.nnz
+    dense = F.toarray()
+    np.testing.assert_allclose(dense, dense.T)
+    np.testing.assert_allclose(
+        dense, [[1.0, 0.5, 0.0], [0.5, 2.0, 0.0], [0.0, 0.0, 0.0]]
+    )
+    # the explicit zeros are STORED at (0,2) and (2,0)
+    pos = set(zip(*F.nonzero())) | {
+        (int(r), int(c)) for r, c in zip(F.tocoo().row, F.tocoo().col)
+    }
+    assert (0, 2) in pos and (2, 0) in pos
